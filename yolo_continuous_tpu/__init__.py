@@ -1,0 +1,18 @@
+"""yolo_continuous_tpu — a TPU-native (JAX/XLA/Pallas) object-detection framework.
+
+Re-implements the full capability surface of the reference YOLOv7-style
+detector (xin-pu/yolo-continuous) with a TPU-first design:
+
+- NHWC layouts, bf16 compute with fp32 params/statistics,
+- a YAML-driven model builder that compiles to ONE static XLA graph,
+- static-shape SimOTA loss (vmap over batch, padded ground truth),
+- a batched on-device augmentation graph (mosaic/mixup/HSV/flip/jitter),
+- on-device fixed-capacity NMS (no host round-trip),
+- pjit/Mesh data+tensor parallelism via jax.sharding,
+- optax optimizer with the reference's 3-param-group policy, EMA,
+  warm-up + decay schedules, orbax checkpointing, and a mAP evaluator.
+
+Reference parity citations use ``file:line`` into the upstream repo.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,740 @@
+"""Module zoo (flax.linen, NHWC, TPU-first).
+
+Re-implements every block of the reference zoo ``nets/common.py`` (825 LoC,
+~45 classes) as functional linen modules:
+
+- NHWC layout (TPU-native conv layout; the torch original is NCHW),
+- explicit symmetric padding ``k//2`` so spatial alignment matches torch
+  Conv2d exactly (XLA 'SAME' pads asymmetrically for even sizes),
+- compute dtype configurable (bf16 on TPU), params + BatchNorm stats fp32,
+- BatchNorm runs in fp32 regardless of compute dtype (torch semantics:
+  default eps=1e-5, momentum=0.1 -> flax momentum=0.9),
+- RepConv's train-time 3-branch form with a pure-weight-transform deploy
+  fuse (see ``fuse.py``; reference ``nets/common.py:442-614``).
+
+Each class cites its reference counterpart ``nets/common.py:<line>``.
+
+Deliberate fix: ``ImplicitM`` initializes its multiplier around **1.0**
+(``normal(1, 0.02)``). The reference inherits a porting bug from YOLOR and
+draws it around 0 (``nets/common.py:429-439``), which would zero the head
+output at init; upstream YOLOR uses mean=1.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# Activation spec: True -> SiLU (reference default), a str name, or
+# ("leaky_relu", slope) parsed from YAML strings like "nn.LeakyReLU(0.1)".
+ActSpec = Union[bool, None, str, Tuple[str, float]]
+
+Dtype = Any
+
+normal_init = nn.initializers.normal(stddev=0.02)  # nets/yolo.py:120 conv init
+
+
+def autopad(k: int, p: Optional[int] = None) -> int:
+    """'same' padding for odd kernels; mirrors nets/common.py:7-11."""
+    if p is None:
+        p = k // 2 if isinstance(k, int) else [x // 2 for x in k]
+    return p
+
+
+def apply_act(x: jnp.ndarray, act: ActSpec) -> jnp.ndarray:
+    if act is True or act == "silu":
+        return nn.silu(x)
+    if isinstance(act, tuple) and act[0] == "leaky_relu":
+        return nn.leaky_relu(x, negative_slope=act[1])
+    if act == "leaky_relu":
+        return nn.leaky_relu(x, negative_slope=0.01)
+    if act == "relu":
+        return nn.relu(x)
+    if act == "hardswish":
+        return nn.hard_swish(x)
+    if act in (False, None, "identity"):
+        return x
+    raise ValueError(f"unknown activation spec {act!r}")
+
+
+def conv2d(
+    parent: nn.Module,
+    x: jnp.ndarray,
+    c2: int,
+    k: int = 1,
+    s: int = 1,
+    p: Optional[int] = None,
+    g: int = 1,
+    bias: bool = False,
+    name: str = "conv",
+    dtype: Dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Plain conv with torch-style symmetric padding."""
+    p = autopad(k, p)
+    return nn.Conv(
+        features=c2,
+        kernel_size=(k, k),
+        strides=(s, s),
+        padding=[(p, p), (p, p)],
+        feature_group_count=g,
+        use_bias=bias,
+        kernel_init=normal_init,
+        bias_init=nn.initializers.zeros,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )(x)
+
+
+class BatchNorm(nn.Module):
+    """fp32 BatchNorm with torch-default hyperparameters (eps 1e-5, mom 0.1).
+
+    Scale init normal(1, 0.02) per nets/yolo.py:121-123.
+    """
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_dtype = x.dtype
+        y = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            scale_init=nn.initializers.normal(stddev=0.02) if False else _bn_scale_init,
+            name="bn",
+        )(x.astype(jnp.float32))
+        return y.astype(in_dtype)
+
+
+def _bn_scale_init(key, shape, dtype=jnp.float32):
+    return 1.0 + jax.random.normal(key, shape, dtype) * 0.02
+
+
+def max_pool(x, k, s, p=0):
+    pads = [(p, p), (p, p)]
+    return nn.max_pool(x, window_shape=(k, k), strides=(s, s), padding=pads)
+
+
+def upsample_nearest_2x(x):
+    """nn.Upsample(None, 2, 'nearest'); exact torch-nearest on 2x."""
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+# --------------------------------------------------------------------------
+# Parameter-free rearrangers (nets/common.py:25-95, 759-812)
+# --------------------------------------------------------------------------
+
+def mp(x, k: int = 2):
+    """MP: maxpool k=s=2; nets/common.py:25-31."""
+    return max_pool(x, k, k)
+
+
+def sp(x, k: int = 3, s: int = 1):
+    """SP: stride-1 maxpool, same-pad; nets/common.py:34-40."""
+    return max_pool(x, k, s, k // 2)
+
+
+def reorg(x):
+    """ReOrg: space-to-depth 2x; nets/common.py:43-51 (NHWC here)."""
+    return jnp.concatenate(
+        [x[:, ::2, ::2, :], x[:, 1::2, ::2, :], x[:, ::2, 1::2, :], x[:, 1::2, 1::2, :]], axis=-1
+    )
+
+
+def concat(xs: Sequence[jnp.ndarray]):
+    """Concat(dimension=1) == channel concat (NHWC axis -1); nets/common.py:54-60."""
+    return jnp.concatenate(list(xs), axis=-1)
+
+
+def chuncat(xs: Sequence[jnp.ndarray]):
+    """nets/common.py:63-75."""
+    x1 = [jnp.split(xi, 2, axis=-1)[0] for xi in xs]
+    x2 = [jnp.split(xi, 2, axis=-1)[1] for xi in xs]
+    return jnp.concatenate(x1 + x2, axis=-1)
+
+
+def shortcut(xs: Sequence[jnp.ndarray]):
+    """nets/common.py:78-84."""
+    return xs[0] + xs[1]
+
+
+def foldcut(x):
+    """nets/common.py:87-94."""
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return x1 + x2
+
+
+def contract(x, gain: int = 2):
+    """Contract w/h into channels; nets/common.py:787-798 (NHWC)."""
+    n, h, w, c = x.shape
+    s = gain
+    x = x.reshape(n, h // s, s, w // s, s, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # n, h/s, w/s, s, s, c
+    return x.reshape(n, h // s, w // s, c * s * s)
+
+
+def expand(x, gain: int = 2):
+    """Expand channels into w/h; nets/common.py:801-812 (NHWC)."""
+    n, h, w, c = x.shape
+    s = gain
+    x = x.reshape(n, h, w, s, s, c // s ** 2)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # n, h, s, w, s, c/s^2
+    return x.reshape(n, h * s, w * s, c // s ** 2)
+
+
+# --------------------------------------------------------------------------
+# Conv family
+# --------------------------------------------------------------------------
+
+class Conv(nn.Module):
+    """Conv2d + BN + act; nets/common.py:97-109."""
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    act: ActSpec = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = conv2d(self, x, self.c2, self.k, self.s, self.p, self.g, dtype=self.dtype)
+        x = BatchNorm(name="bn")(x, train)
+        return apply_act(x, self.act)
+
+
+class DWConv(nn.Module):
+    """dw_conv: depthwise-ish conv, groups=gcd(c1,c2); nets/common.py:20-22."""
+    c1: int
+    c2: int
+    k: int = 1
+    s: int = 1
+    act: ActSpec = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        g = math.gcd(self.c1, self.c2)
+        return Conv(self.c2, self.k, self.s, None, g, self.act, self.dtype, name="conv")(x, train)
+
+
+class RobustConv(nn.Module):
+    """depthwise k + pointwise 1x1 + layer-scale; nets/common.py:112-124."""
+    c1: int
+    c2: int
+    k: int = 7
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    act: ActSpec = True
+    layer_scale_init_value: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv(self.c1, self.k, self.s, self.p, self.c1, self.act, self.dtype, name="conv_dw")(x, train)
+        x = conv2d(self, x, self.c2, 1, 1, 0, 1, bias=True, name="conv1x1", dtype=self.dtype)
+        if self.layer_scale_init_value > 0:
+            gamma = self.param(
+                "gamma", nn.initializers.constant(self.layer_scale_init_value), (self.c2,), jnp.float32
+            )
+            x = x * gamma.astype(x.dtype)
+        return x
+
+
+class RobustConv2(nn.Module):
+    """strided depthwise + transposed-conv upsample; nets/common.py:127-139."""
+    c1: int
+    c2: int
+    k: int = 7
+    s: int = 4
+    p: Optional[int] = None
+    g: int = 1
+    act: ActSpec = True
+    layer_scale_init_value: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv(self.c1, self.k, self.s, self.p, self.c1, self.act, self.dtype, name="conv_strided")(x, train)
+        x = nn.ConvTranspose(
+            features=self.c2,
+            kernel_size=(self.s, self.s),
+            strides=(self.s, self.s),
+            padding="VALID",
+            use_bias=True,
+            kernel_init=normal_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv_deconv",
+        )(x)
+        if self.layer_scale_init_value > 0:
+            gamma = self.param(
+                "gamma", nn.initializers.constant(self.layer_scale_init_value), (self.c2,), jnp.float32
+            )
+            x = x * gamma.astype(x.dtype)
+        return x
+
+
+class GhostConv(nn.Module):
+    """half features + cheap 5x5 depthwise ghosts; nets/common.py:142-152."""
+    c2: int
+    k: int = 1
+    s: int = 1
+    g: int = 1
+    act: ActSpec = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = Conv(c_, self.k, self.s, None, self.g, self.act, self.dtype, name="cv1")(x, train)
+        y2 = Conv(c_, 5, 1, None, c_, self.act, self.dtype, name="cv2")(y, train)
+        return jnp.concatenate([y, y2], axis=-1)
+
+
+class Stem(nn.Module):
+    """4-conv + pool stem; nets/common.py:155-168."""
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    act: ActSpec = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 / 2)
+        x = Conv(c_, 3, 2, dtype=self.dtype, name="cv1")(x, train)
+        a = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        a = Conv(c_, 3, 2, dtype=self.dtype, name="cv3")(a, train)
+        b = max_pool(x, 2, 2)
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv4")(jnp.concatenate([a, b], -1), train)
+
+
+class GhostStem(nn.Module):
+    """Stem with GhostConvs; nets/common.py:283-291."""
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    act: ActSpec = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 / 2)
+        x = GhostConv(c_, 3, 2, dtype=self.dtype, name="cv1")(x, train)
+        a = GhostConv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        a = GhostConv(c_, 3, 2, dtype=self.dtype, name="cv3")(a, train)
+        b = max_pool(x, 2, 2)
+        return GhostConv(self.c2, 1, 1, dtype=self.dtype, name="cv4")(jnp.concatenate([a, b], -1), train)
+
+
+class DownC(nn.Module):
+    """conv-downsample || maxpool-conv concat; nets/common.py:171-182."""
+    c1: int
+    c2: int
+    n: int = 1
+    k: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        a = Conv(self.c1, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        a = Conv(self.c2 // 2, 3, self.k, dtype=self.dtype, name="cv2")(a, train)
+        b = max_pool(x, self.k, self.k)
+        b = Conv(self.c2 // 2, 1, 1, dtype=self.dtype, name="cv3")(b, train)
+        return jnp.concatenate([a, b], axis=-1)
+
+
+# --------------------------------------------------------------------------
+# SPP family
+# --------------------------------------------------------------------------
+
+class SPP(nn.Module):
+    """nets/common.py:185-196."""
+    c1: int
+    c2: int
+    k: Tuple[int, ...] = (5, 9, 13)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c1 // 2
+        x = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = [x] + [sp(x, k) for k in self.k]
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+
+
+class SPPF(nn.Module):
+    """cascaded-5 SPP; nets/common.py:771-784."""
+    c1: int
+    c2: int
+    k: int = 5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c1 // 2
+        x = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y1 = sp(x, self.k)
+        y2 = sp(y1, self.k)
+        y3 = sp(y2, self.k)
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv2")(jnp.concatenate([x, y1, y2, y3], -1), train)
+
+
+class SPPCSPC(nn.Module):
+    """CSP-SPP used by yolov7 head; nets/common.py:248-266."""
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    g: int = 1
+    e: float = 0.5
+    k: Tuple[int, ...] = (5, 9, 13)
+    act: ActSpec = True
+    dtype: Dtype = jnp.float32
+    ghost: bool = False  # GhostSPPCSPC variant (nets/common.py:269-280)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(2 * self.c2 * self.e)
+        CV = (lambda c, k, s, name: GhostConv(c, k, s, dtype=self.dtype, name=name)) if self.ghost \
+            else (lambda c, k, s, name: Conv(c, k, s, act=self.act, dtype=self.dtype, name=name))
+        x1 = CV(c_, 1, 1, "cv1")(x, train)
+        x1 = CV(c_, 3, 1, "cv3")(x1, train)
+        x1 = CV(c_, 1, 1, "cv4")(x1, train)
+        ys = [x1] + [sp(x1, k) for k in self.k]
+        y1 = CV(c_, 1, 1, "cv5")(jnp.concatenate(ys, -1), train)
+        y1 = CV(c_, 3, 1, "cv6")(y1, train)
+        y2 = CV(c_, 1, 1, "cv2")(x, train)
+        return CV(self.c2, 1, 1, "cv7")(jnp.concatenate([y1, y2], -1), train)
+
+
+# --------------------------------------------------------------------------
+# Bottleneck / Res / Ghost elementary blocks
+# --------------------------------------------------------------------------
+
+class Bottleneck(nn.Module):
+    """Darknet bottleneck; nets/common.py:199-209."""
+    c1: int
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    rep: bool = False  # RepBottleneck (nets/common.py:617-622): cv2 is a RepConv
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        if self.rep:
+            y = RepConv(c_, self.c2, 3, 1, g=self.g, dtype=self.dtype, name="cv2")(y, train)
+        else:
+            y = Conv(self.c2, 3, 1, g=self.g, dtype=self.dtype, name="cv2")(y, train)
+        return x + y if (self.shortcut and self.c1 == self.c2) else y
+
+
+class Res(nn.Module):
+    """ResNet bottleneck; nets/common.py:212-223."""
+    c1: int
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    rep: bool = False  # RepRes (nets/common.py:649-654): cv2 is a RepConv
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        if self.rep:
+            y = RepConv(c_, c_, 3, 1, g=self.g, dtype=self.dtype, name="cv2")(y, train)
+        else:
+            y = Conv(c_, 3, 1, g=self.g, dtype=self.dtype, name="cv2")(y, train)
+        y = Conv(self.c2, 1, 1, dtype=self.dtype, name="cv3")(y, train)
+        return x + y if (self.shortcut and self.c1 == self.c2) else y
+
+
+class Ghost(nn.Module):
+    """Ghost bottleneck; nets/common.py:233-245."""
+    c1: int
+    c2: int
+    k: int = 3
+    s: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = GhostConv(c_, 1, 1, dtype=self.dtype, name="conv0")(x, train)
+        if self.s == 2:
+            y = DWConv(c_, c_, self.k, self.s, act=False, dtype=self.dtype, name="conv1")(y, train)
+        y = GhostConv(self.c2, 1, 1, act=False, dtype=self.dtype, name="conv2")(y, train)
+        if self.s == 2:
+            sc = DWConv(self.c1, self.c1, self.k, self.s, act=False, dtype=self.dtype, name="short0")(x, train)
+            sc = Conv(self.c2, 1, 1, act=False, dtype=self.dtype, name="short1")(sc, train)
+        else:
+            sc = x
+        return y + sc
+
+
+# --------------------------------------------------------------------------
+# CSP wrappers (A/B/C topologies x {Bottleneck, Res, ResX, Ghost, Rep*})
+# nets/common.py:294-413, 625-710
+# --------------------------------------------------------------------------
+
+def _inner_block(kind: str, c_: int, shortcut: bool, g: int, dtype, name: str):
+    """The repeated block inside a CSP 'm' chain, with the reference's e values."""
+    if kind == "bottleneck":
+        return Bottleneck(c_, c_, shortcut, g, e=1.0, dtype=dtype, name=name)
+    if kind == "rep_bottleneck":
+        return Bottleneck(c_, c_, shortcut, g, e=1.0, rep=True, dtype=dtype, name=name)
+    if kind == "res":
+        return Res(c_, c_, shortcut, g, e=0.5, dtype=dtype, name=name)
+    if kind == "rep_res":
+        return Res(c_, c_, shortcut, g, e=0.5, rep=True, dtype=dtype, name=name)
+    if kind == "resx":  # ResXCSP* uses e=1.0 inner (nets/common.py:368-389)
+        return Res(c_, c_, shortcut, g, e=1.0, dtype=dtype, name=name)
+    if kind == "rep_resx":
+        return Res(c_, c_, shortcut, g, e=0.5, rep=True, dtype=dtype, name=name)
+    if kind == "ghost":
+        return Ghost(c_, c_, dtype=dtype, name=name)
+    raise ValueError(kind)
+
+
+class CSPA(nn.Module):
+    """CSP topology A; nets/common.py:294-307."""
+    c1: int
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    inner: str = "bottleneck"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = _inner_block(self.inner, c_, self.shortcut, self.g, self.dtype, f"m{i}")(y1, train)
+        y2 = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([y1, y2], -1), train)
+
+
+class CSPB(nn.Module):
+    """CSP topology B (c_ = c2, both paths from cv1); nets/common.py:310-324."""
+    c1: int
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    g: int = 1
+    e: float = 0.5
+    inner: str = "bottleneck"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2)
+        x1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y1 = x1
+        for i in range(self.n):
+            y1 = _inner_block(self.inner, c_, self.shortcut, self.g, self.dtype, f"m{i}")(y1, train)
+        y2 = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x1, train)
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([y1, y2], -1), train)
+
+
+class CSPC(nn.Module):
+    """CSP topology C (extra cv3 on the m path); nets/common.py:327-341."""
+    c1: int
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    inner: str = "bottleneck"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = _inner_block(self.inner, c_, self.shortcut, self.g, self.dtype, f"m{i}")(y1, train)
+        y1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv3")(y1, train)
+        y2 = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv4")(jnp.concatenate([y1, y2], -1), train)
+
+
+# --------------------------------------------------------------------------
+# Implicit knowledge (YOLOR); nets/common.py:416-439
+# --------------------------------------------------------------------------
+
+class ImplicitA(nn.Module):
+    """Learned additive prior, init normal(0, 0.02); nets/common.py:416-426."""
+    channel: int
+    mean: float = 0.0
+    std: float = 0.02
+
+    @nn.compact
+    def __call__(self, x):
+        imp = self.param(
+            "implicit",
+            lambda k, s: self.mean + jax.random.normal(k, s) * self.std,
+            (1, 1, 1, self.channel),
+        )
+        return x + imp.astype(x.dtype)
+
+
+class ImplicitM(nn.Module):
+    """Learned multiplicative prior, init normal(1, 0.02).
+
+    nets/common.py:429-439 draws around 0 (porting bug vs upstream YOLOR,
+    which uses mean=1); fixed deliberately here.
+    """
+    channel: int
+    mean: float = 1.0
+    std: float = 0.02
+
+    @nn.compact
+    def __call__(self, x):
+        imp = self.param(
+            "implicit",
+            lambda k, s: self.mean + jax.random.normal(k, s) * self.std,
+            (1, 1, 1, self.channel),
+        )
+        return x * imp.astype(x.dtype)
+
+
+# --------------------------------------------------------------------------
+# RepConv; nets/common.py:442-614
+# --------------------------------------------------------------------------
+
+class RepConv(nn.Module):
+    """3-branch re-parameterizable conv (RepVGG-style).
+
+    Train form: conv3x3+BN + conv1x1+BN + (BN identity if c1==c2, s==1).
+    Deploy form: one biased conv3x3 (weights produced by fuse.fuse_repconv).
+    """
+    c1: int
+    c2: int
+    k: int = 3
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    act: ActSpec = True
+    deploy: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert self.k == 3 and autopad(self.k, self.p) == 1
+        if self.deploy:
+            y = conv2d(self, x, self.c2, 3, self.s, 1, self.g, bias=True,
+                       name="rbr_reparam", dtype=self.dtype)
+            return apply_act(y, self.act)
+        dense = conv2d(self, x, self.c2, 3, self.s, 1, self.g, name="rbr_dense_conv", dtype=self.dtype)
+        dense = BatchNorm(name="rbr_dense_bn")(dense, train)
+        one = conv2d(self, x, self.c2, 1, self.s, 0, self.g, name="rbr_1x1_conv", dtype=self.dtype)
+        one = BatchNorm(name="rbr_1x1_bn")(one, train)
+        if self.c2 == self.c1 and self.s == 1:
+            ident = BatchNorm(name="rbr_identity")(x, train)
+        else:
+            ident = 0.0
+        return apply_act(dense + one + ident, self.act)
+
+
+# --------------------------------------------------------------------------
+# Transformer (unused by shipped configs but part of the zoo);
+# nets/common.py:713-756
+# --------------------------------------------------------------------------
+
+class TransformerLayer(nn.Module):
+    """LayerNorm-free transformer layer; nets/common.py:713-727."""
+    c: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # x: (tokens, batch, c)
+        dense = lambda name: nn.Dense(self.c, use_bias=False, kernel_init=normal_init,
+                                      dtype=self.dtype, param_dtype=jnp.float32, name=name)
+        q, k, v = dense("q")(x), dense("k")(x), dense("v")(x)
+        # torch MultiheadAttention: in/out projections with bias
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=self.c, out_features=self.c,
+            dtype=self.dtype, param_dtype=jnp.float32, name="ma",
+        )(q, k, v)
+        x = attn + x
+        x = dense("fc2")(dense("fc1")(x)) + x
+        return x
+
+
+class TransformerBlock(nn.Module):
+    """ViT block over the spatial grid; nets/common.py:730-756."""
+    c1: int
+    c2: int
+    num_heads: int
+    num_layers: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):  # NHWC
+        if self.c1 != self.c2:
+            x = Conv(self.c2, dtype=self.dtype, name="conv")(x, train)
+        b, h, w, c = x.shape
+        p = x.reshape(b, h * w, c).transpose(1, 0, 2)  # (tokens, batch, c)
+        e = nn.Dense(self.c2, kernel_init=normal_init, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="linear")(p)
+        x = p + e
+        for i in range(self.num_layers):
+            x = TransformerLayer(self.c2, self.num_heads, self.dtype, name=f"tr{i}")(x)
+        return x.transpose(1, 0, 2).reshape(b, h, w, self.c2)
+
+
+# --------------------------------------------------------------------------
+# Misc heads/stems; nets/common.py:759-825
+# --------------------------------------------------------------------------
+
+class Focus(nn.Module):
+    """space-to-depth + conv; nets/common.py:759-768."""
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    act: ActSpec = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return Conv(self.c2, self.k, self.s, self.p, self.g, self.act, self.dtype, name="conv")(reorg(x), train)
+
+
+class Classify(nn.Module):
+    """global-avg-pool classification head; nets/common.py:815-825."""
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        xs = x if isinstance(x, (list, tuple)) else [x]
+        z = jnp.concatenate([jnp.mean(y, axis=(1, 2), keepdims=True) for y in xs], axis=-1)
+        z = conv2d(self, z, self.c2, self.k, self.s, self.p, self.g, bias=True, dtype=self.dtype)
+        return z.reshape(z.shape[0], -1)
