@@ -106,7 +106,7 @@ class BatchNorm(nn.Module):
             epsilon=self.epsilon,
             dtype=jnp.float32,
             param_dtype=jnp.float32,
-            scale_init=nn.initializers.normal(stddev=0.02) if False else _bn_scale_init,
+            scale_init=_bn_scale_init,
             name="bn",
         )(x.astype(jnp.float32))
         return y.astype(in_dtype)
