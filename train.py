@@ -1,0 +1,27 @@
+#!/usr/bin/env python
+"""Training entry point.
+
+Public behavior mirrors the reference ``train.py`` (``train(cfg_file)``
+driven by a train-plan YAML) plus a real CLI — the reference hard-codes
+its config path in ``__main__`` (``train.py:125-127``, flagged in
+SURVEY §1 "no CLI layer").
+
+Usage:
+    python train.py [cfg/voc_train.yaml]
+"""
+import argparse
+
+from yolo_continuous_tpu.config.plan import check_file
+from yolo_continuous_tpu.train.train_loop import train
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Train a detector from a plan YAML")
+    ap.add_argument("cfg", nargs="?", default="cfg/voc_train.yaml",
+                    help="train-plan YAML (default: cfg/voc_train.yaml)")
+    args = ap.parse_args()
+    train(check_file(args.cfg))
+
+
+if __name__ == "__main__":
+    main()

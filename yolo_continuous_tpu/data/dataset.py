@@ -1,0 +1,195 @@
+"""Host-side dataset: annotation parsing, decode, staging, batching.
+
+Parity targets:
+- annotation-line format ``path x1,y1,x2,y2,cls ...``
+  (``dataset/yolo_dataset.py:44-58``, ``tools/gen_annotation.py:18-36``)
+- the sampling policy of ``YoloDataset2`` (``dataset/yolo_dataset_git.py``):
+  mosaic with prob ``mosaic_prob`` during the first
+  ``special_aug_ratio`` of epochs (``:54``), mixup with ``mixup_prob``
+  after mosaic (``:60``), deterministic letterbox for val,
+- the collate contract: images + per-image labels
+  ``[cls, cx, cy, w, h]`` normalized (``:405-415``; the batch-index
+  column becomes an explicit batch dimension here).
+
+TPU re-design: the host ONLY decodes JPEGs and letterboxes them onto
+fixed staging canvases; every randomized augmentation runs on device
+(``ops/augment.py``). The loader emits fixed-shape numpy batches:
+  tiles (B,4,S,S,3) u8, metas (B,4,5), boxes (B,4,MB,5), masks (B,4,MB),
+  mosaic/mixup flags (B,)
+and a background thread keeps one batch ahead (device prefetch replacing
+``InfiniteDataLoader``; ``dataset/infinite_dataLoader.py:4-36``).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..ops.preprocess import StagingMeta, stage_image
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+@dataclass
+class Annotation:
+    path: str
+    boxes: np.ndarray  # (n, 5) [x1, y1, x2, y2, cls] px
+
+
+def parse_annotation_lines(lines: Sequence[str]) -> List[Annotation]:
+    """``img.jpg x1,y1,x2,y2,cls ...`` -> records (yolo_dataset.py:44-58)."""
+    out = []
+    for line in lines:
+        parts = line.split()
+        if not parts:
+            continue
+        boxes = np.array([[int(v) for v in b.split(",")] for b in parts[1:]],
+                         np.float32).reshape(-1, 5)
+        out.append(Annotation(path=parts[0], boxes=boxes))
+    return out
+
+
+def load_annotation_file(path: str) -> List[Annotation]:
+    with open(path, encoding="utf-8") as f:
+        return parse_annotation_lines(f.readlines())
+
+
+def _read_rgb(path: str) -> np.ndarray:
+    """Decode to RGB uint8 (the training pipeline is RGB; the reference
+    trains RGB via PIL but predicts BGR via cv2.imread — a flagged
+    inconsistency we fix by using RGB everywhere)."""
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(path)
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+class YoloDataset:
+    """Index-file dataset emitting device-ready staged batches."""
+
+    def __init__(
+        self,
+        annotations: Sequence[Annotation],
+        image_size: int = 640,
+        max_boxes: int = 128,
+        mosaic: bool = True,
+        mixup: bool = True,
+        mosaic_prob: float = 0.5,
+        mixup_prob: float = 0.5,
+        epoch_length: int = 100,
+        special_aug_ratio: float = 0.7,   # yolo_dataset_git.py:54
+        train: bool = True,
+        seed: int = 0,
+    ):
+        self.annotations = list(annotations)
+        self.size = image_size
+        self.max_boxes = max_boxes
+        self.mosaic = mosaic
+        self.mixup = mixup
+        self.mosaic_prob = mosaic_prob
+        self.mixup_prob = mixup_prob
+        self.epoch_length = epoch_length
+        self.special_aug_ratio = special_aug_ratio
+        self.train = train
+        self.rng = np.random.RandomState(seed)
+        self.epoch_now = 0
+        self._cache: dict = {}
+
+    def __len__(self):
+        return len(self.annotations)
+
+    # -- single staged sample ---------------------------------------------
+    def _staged(self, idx: int):
+        ann = self.annotations[idx]
+        img = _read_rgb(ann.path)
+        canvas, meta = stage_image(img, self.size)
+        boxes = np.zeros((self.max_boxes, 5), np.float32)
+        mask = np.zeros((self.max_boxes,), bool)
+        n = min(len(ann.boxes), self.max_boxes)
+        if n:
+            boxes[:n] = ann.boxes[:n]
+            mask[:n] = True
+        meta_v = np.array([meta.iw, meta.ih, meta.scale, meta.ox, meta.oy],
+                          np.float32)
+        return canvas, meta_v, boxes, mask
+
+    def sample(self, idx: int):
+        """One sample -> (tiles (4,S,S,3), metas (4,5), boxes, masks,
+        mosaic_flag, mixup_flag)."""
+        S, MB = self.size, self.max_boxes
+        tiles = np.zeros((4, S, S, 3), np.uint8)
+        metas = np.zeros((4, 5), np.float32)
+        metas[:, :3] = 1.0  # harmless defaults for unused tiles
+        boxes = np.zeros((4, MB, 5), np.float32)
+        masks = np.zeros((4, MB), bool)
+
+        use_mosaic = bool(
+            self.train and self.mosaic and self.rng.rand() < self.mosaic_prob
+            and self.epoch_now < self.epoch_length * self.special_aug_ratio)
+        use_mixup = bool(self.train and use_mosaic and self.mixup
+                         and self.rng.rand() < self.mixup_prob)
+
+        idxs = [idx]
+        if use_mosaic:
+            extra = self.rng.randint(0, len(self.annotations), 3).tolist()
+            idxs = extra + [idx]
+            self.rng.shuffle(idxs)  # yolo_dataset_git.py:55-57
+        for t, j in enumerate(idxs):
+            tiles[t], metas[t], boxes[t], masks[t] = self._staged(j)
+        return tiles, metas, boxes, masks, use_mosaic, use_mixup
+
+    def batch(self, indices: Sequence[int]):
+        outs = [self.sample(i) for i in indices]
+        tiles = np.stack([o[0] for o in outs])
+        metas = np.stack([o[1] for o in outs])
+        boxes = np.stack([o[2] for o in outs])
+        masks = np.stack([o[3] for o in outs])
+        mosaic = np.array([o[4] for o in outs], bool)
+        mixup = np.array([o[5] for o in outs], bool)
+        return tiles, metas, boxes, masks, mosaic, mixup
+
+    # -- epoch iteration ---------------------------------------------------
+    def epoch_batches(self, batch_size: int, shuffle: bool = True,
+                      drop_last: bool = True):
+        n = len(self.annotations)
+        order = self.rng.permutation(n) if shuffle else np.arange(n)
+        stop = n - (n % batch_size) if drop_last else n
+        for s in range(0, stop, batch_size):
+            idx = order[s:s + batch_size]
+            if len(idx) < batch_size:  # pad final partial batch by wrapping
+                idx = np.concatenate([idx, order[:batch_size - len(idx)]])
+            yield self.batch(idx)
+        self.epoch_now += 1
+
+
+class PrefetchLoader:
+    """Background-thread prefetch (replaces InfiniteDataLoader workers)."""
+
+    def __init__(self, gen_fn, depth: int = 2):
+        self.gen_fn = gen_fn
+        self.depth = depth
+
+    def __iter__(self):
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        DONE = object()
+
+        def worker():
+            try:
+                for item in self.gen_fn():
+                    q.put(item)
+            finally:
+                q.put(DONE)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is DONE:
+                break
+            yield item

@@ -1,0 +1,184 @@
+"""Single-image / batched inference API.
+
+Parity target: ``detect.py:16-265`` — prepare image (letterbox 114),
+forward, grid decode, conf filter + per-class NMS, letterbox un-map,
+TargetBox records, rendering. TPU re-design: decode + NMS run on device
+in one jitted graph (``ops/decode`` + ``ops/nms``); only the final
+fixed-size result crosses to the host.
+
+Deliberate fix (documented): the reference predicts on cv2's BGR while
+training on PIL's RGB (``detect.py:23`` vs ``yolo_dataset_git.py:106``);
+here both paths are RGB.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .config.plan import TrainPlan, check_file, cvt_cfg
+from .nn.builder import YoloModel, build_model_spec
+from .ops.decode import decode_outputs
+from .ops.nms import batched_nms, yolo_correct_boxes
+from .ops.preprocess import letterbox
+from .train.checkpoint import try_load
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+@dataclass
+class TargetBox:
+    """Detection record; utils/target_box.py:8-38."""
+    left: int
+    top: int
+    right: int
+    bottom: int
+    score: float
+    label: str
+    color: Tuple[int, int, int]
+
+    def get_topleft(self):
+        return (self.left, self.top)
+
+    def get_bottomright(self):
+        return (self.right, self.bottom)
+
+    def __str__(self):
+        info = "-" * 20 + type(self).__name__ + "-" * 20 + "\r\n"
+        for key, value in self.__dict__.items():
+            info += "%20s :\t%s\r\n" % (key, value)
+        return info
+
+
+def generate_colors(n: int) -> List[Tuple[int, int, int]]:
+    """HSV wheel label colors; utils/helper_cv.py:60-64."""
+    import colorsys
+    out = []
+    for i in range(n):
+        r, g, b = colorsys.hsv_to_rgb(i / n, 1.0, 1.0)
+        out.append((int(r * 255), int(g * 255), int(b * 255)))
+    return out
+
+
+class Detector:
+    """Loads a plan + checkpoint and serves jitted end-to-end inference."""
+
+    def __init__(self, plan: TrainPlan, dtype=None, params=None,
+                 batch_stats=None, use_ema: bool = True):
+        self.plan = plan
+        self.dtype = dtype or (jnp.bfloat16 if jax.default_backend() == "tpu"
+                               else jnp.float32)
+        model_cfg = cvt_cfg(plan.model_cfg)
+        self.spec = build_model_spec(model_cfg, plan.image_chan, plan.anchors,
+                                     plan.num_labels, plan.anchors_mask)
+        self.model = YoloModel(spec=self.spec, dtype=self.dtype)
+        self.nl = len(self.spec.strides)
+
+        if params is None:
+            size = plan.image_size
+            x = jnp.zeros((1, size, size, plan.image_chan), jnp.float32)
+            variables = self.model.init(jax.random.PRNGKey(0), x, False)
+            params = variables["params"]
+            batch_stats = variables.get("batch_stats", {})
+            tmpl = {"params": params, "batch_stats": batch_stats,
+                    "ema": {"tree": {"params": params,
+                                     "batch_stats": batch_stats}}}
+            ckpt = try_load(plan.save_path, tmpl)
+            if ckpt is not None:
+                if use_ema and "ema" in ckpt:
+                    params = ckpt["ema"]["tree"]["params"]
+                    batch_stats = ckpt["ema"]["tree"]["batch_stats"]
+                else:
+                    params = ckpt["params"]
+                    batch_stats = ckpt["batch_stats"]
+        self.params = params
+        self.batch_stats = batch_stats or {}
+        self._infer = None
+        self._infer_key = None
+
+    def _build_infer(self, conf_thres: float, nms_thres: float, max_det: int):
+        spec = self.spec
+
+        @jax.jit
+        def infer(params, batch_stats, images):
+            outs = self.model.apply(
+                {"params": params, "batch_stats": batch_stats}, images, False)
+            outs = outs[: self.nl]  # IAuxDetect: leads only (iaux_detect.py:52)
+            pred = decode_outputs(outs, spec.anchors, spec.strides,
+                                  normalized=True)  # (bs, total, 5+nc)
+            return batched_nms(pred, conf_thres, nms_thres, max_det)
+
+        return infer
+
+    def __call__(self, images: jnp.ndarray, conf_thres: float = 0.5,
+                 nms_thres: float = 0.4, max_det: int = 300):
+        """images: (bs, H, W, 3) float 0..1 -> (boxes_xyxy_norm, scores,
+        classes, valid), all fixed-shape on device."""
+        key = (conf_thres, nms_thres, max_det)
+        if self._infer is None or self._infer_key != key:
+            self._infer = self._build_infer(conf_thres, nms_thres, max_det)
+            self._infer_key = key
+        return self._infer(self.params, self.batch_stats, images)
+
+
+def predict(cfg_file: str, image_path: str, conf_threshold: float = 0.3,
+            nms_threshold: float = 0.3, detector: Optional[Detector] = None,
+            save_path: Optional[str] = None, show: bool = False):
+    """Public API mirroring ``detect.py:208-265``.
+
+    Returns the list of TargetBox records (printed like the reference);
+    optionally renders boxes to ``save_path``.
+    """
+    plan = TrainPlan(check_file(cfg_file))
+    det = detector or Detector(plan)
+    size = (plan.image_size, plan.image_size)
+
+    bgr = cv2.imread(image_path)
+    rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+    img, ratio, offset = letterbox(rgb, size, color=(114, 114, 114),
+                                   scale_fill=False)
+    images = jnp.asarray(img, jnp.float32)[None] / 255.0
+
+    boxes, scores, classes, valid = det(images, conf_threshold, nms_threshold)
+    boxes = np.asarray(yolo_correct_boxes(boxes[0], size, bgr.shape[:2], True))
+    scores = np.asarray(scores[0])
+    classes = np.asarray(classes[0])
+    valid = np.asarray(valid[0])
+
+    colors = generate_colors(plan.num_labels)
+    target_boxes: List[TargetBox] = []
+    h0, w0 = bgr.shape[:2]
+    for i in np.where(valid)[0]:
+        y1, x1, y2, x2 = boxes[i]  # yolo_correct_boxes emits y1x1y2x2
+        x1 = max(0, int(np.floor(x1)))
+        y1 = max(0, int(np.floor(y1)))
+        x2 = min(w0, int(np.floor(x2)))
+        y2 = min(h0, int(np.floor(y2)))
+        label = plan.labels[int(classes[i])]
+        tb = TargetBox(x1, y1, x2, y2, float(scores[i]), label,
+                       colors[int(classes[i])])
+        print(tb)
+        target_boxes.append(tb)
+
+    if save_path or show:
+        canvas = bgr.copy()
+        for tb in target_boxes:
+            cv2.rectangle(canvas, tb.get_topleft(), tb.get_bottomright(),
+                          tb.color, 1)
+            info = "{} {:.2f}".format(tb.label, tb.score)
+            cv2.putText(canvas, info, (tb.left, max(tb.top - 2, 10)),
+                        cv2.FONT_HERSHEY_PLAIN, 1, (255, 255, 255))
+        if save_path:
+            cv2.imwrite(save_path, canvas)
+        if show:  # pragma: no cover (headless env)
+            cv2.imshow("Predict", canvas)
+            cv2.waitKey()
+    return target_boxes

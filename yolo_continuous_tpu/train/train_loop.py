@@ -1,0 +1,232 @@
+"""Training loop: jitted train step, warm-up/decay, EMA, checkpointing.
+
+Parity target: ``train.py:23-121`` — the epoch/step loop with AMP,
+warm-up gate, per-epoch LR decay, best-train-loss validation and
+checkpoint save. TPU re-design:
+
+- one jitted ``train_step`` = forward (bf16 compute) + SimOTA loss +
+  grads + 3-group optimizer + EMA (fixes the reference's unwired
+  ``ModelEMA``); no GradScaler — bf16 needs no loss scaling,
+- augmentation runs on device right before the step (``ops/augment``),
+- the step is compiled once; lr/momentum enter as traced scalars,
+- under a ``parallel.mesh`` Mesh the batch shards over the ``data`` axis
+  and gradients all-reduce over ICI automatically (replaces
+  ``torch.nn.DataParallel``, train.py:41),
+- checkpoints carry params + EMA + optimizer + step (exact resume;
+  the reference loses optimizer/epoch state, SURVEY §5).
+"""
+from __future__ import annotations
+
+import math
+import os
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.plan import TrainPlan, cvt_cfg
+from ..data.dataset import PrefetchLoader, YoloDataset, load_annotation_file
+from ..losses.yolo_loss import LossConfig, yolo_loss
+from ..nn.builder import YoloModel, build_model_spec
+from ..ops.augment import AugConfig, augment_batch
+from ..ops.schedules import LRSchedule, StepHyper
+from ..parallel.mesh import (data_sharding, make_mesh, param_sharding_rule,
+                             replicated, shard_batch)
+from .checkpoint import save_checkpoint, try_load
+from .ema import EMAState, ema_init, ema_update
+from .optimizer import Optimizer, label_params, make_optimizer
+
+
+def default_dtype():
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+
+class Trainer:
+    """Builds the model/loss/optimizer from a TrainPlan and runs training."""
+
+    def __init__(self, plan: TrainPlan, mesh=None, dtype=None,
+                 steps_per_epoch: Optional[int] = None):
+        self.plan = plan
+        self.mesh = mesh
+        self.dtype = dtype or default_dtype()
+
+        model_cfg = cvt_cfg(plan.model_cfg)
+        self.spec = build_model_spec(model_cfg, plan.image_chan, plan.anchors,
+                                     plan.num_labels, plan.anchors_mask)
+        if self.spec.head_name == "IBin":
+            raise NotImplementedError(
+                "IBin training loss lands with the sigmoid-bin loss variant; "
+                "inference decode is supported (ops/sigmoid_bin.py)")
+        self.model = YoloModel(spec=self.spec, dtype=self.dtype)
+        self.nl = len(self.spec.strides)
+
+        self.loss_cfg = LossConfig(
+            num_classes=plan.num_labels,
+            input_size=(plan.image_size, plan.image_size),
+            strides=self.spec.strides,
+            anchors=self.spec.anchors,
+            max_gt=plan.max_boxes,
+            fl_gamma=plan.focal_gamma,
+            fl_alpha=plan.focal_alpha,
+            threshold=plan.anchor_t,
+        )
+        self.optimizer = make_optimizer(plan)
+        self.aug_cfg = AugConfig(size=plan.image_size)
+        self._jit_cache: Dict[Any, Any] = {}
+
+    # ------------------------------------------------------------------
+    def init_state(self, rng) -> Dict[str, Any]:
+        x = jnp.zeros((1, self.plan.image_size, self.plan.image_size,
+                       self.plan.image_chan), jnp.float32)
+        variables = self.model.init(rng, x, False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.optimizer.init(params)
+        ema = ema_init({"params": params, "batch_stats": batch_stats})
+        return {"params": params, "batch_stats": batch_stats,
+                "opt": opt_state, "ema": ema,
+                "step": jnp.zeros((), jnp.int32)}
+
+    # ------------------------------------------------------------------
+    def _split_heads(self, outs):
+        if self.spec.head_name == "IAuxDetect":
+            return outs[: self.nl], outs[self.nl:]
+        return outs, ()
+
+    def loss_from_outputs(self, outs, labels, lmask):
+        lead, aux = self._split_heads(outs)
+        return yolo_loss(lead, labels, lmask, self.loss_cfg, aux_preds=aux)
+
+    # ------------------------------------------------------------------
+    def train_step_fn(self, state, images, labels, lmask, lr_w, lr_b, mom):
+        """Pure step function (to be jitted)."""
+        labels_tree = label_params(state["params"])
+
+        def loss_fn(params):
+            outs, mut = self.model.apply(
+                {"params": params, "batch_stats": state["batch_stats"]},
+                images, True, mutable=["batch_stats"])
+            loss, parts = self.loss_from_outputs(outs, labels, lmask)
+            return loss, (mut["batch_stats"], parts)
+
+        (loss, (new_bs, parts)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state["params"])
+        hyper = StepHyper(lr_weights=lr_w, lr_bias=lr_b, momentum=mom)
+        new_params, new_opt = self.optimizer.update(
+            grads, state["opt"], state["params"], labels_tree, hyper)
+        new_ema = ema_update(state["ema"],
+                             {"params": new_params, "batch_stats": new_bs},
+                             decay=self.plan.ema_decay, tau=self.plan.ema_tau)
+        new_state = {"params": new_params, "batch_stats": new_bs,
+                     "opt": new_opt, "ema": new_ema,
+                     "step": state["step"] + 1}
+        return new_state, {"loss": loss, **parts}
+
+    def jitted_train_step(self):
+        # sharding is carried by the input arrays (shard_params/shard_batch
+        # place them on the mesh); GSPMD propagates through the jitted step
+        # and inserts the ICI collectives.
+        if "train_step" not in self._jit_cache:
+            self._jit_cache["train_step"] = jax.jit(
+                self.train_step_fn, donate_argnums=(0,))
+        return self._jit_cache["train_step"]
+
+    def jitted_eval_loss(self):
+        if "eval_loss" not in self._jit_cache:
+            def fn(params, batch_stats, images, labels, lmask):
+                outs = self.model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    images, False)
+                loss, _ = self.loss_from_outputs(outs, labels, lmask)
+                return loss
+            self._jit_cache["eval_loss"] = jax.jit(fn)
+        return self._jit_cache["eval_loss"]
+
+    # ------------------------------------------------------------------
+    def augment(self, rng, batch, train=True):
+        tiles, metas, boxes, masks, mosaic, mixup = batch
+        return augment_batch(
+            rng, jnp.asarray(tiles), jnp.asarray(metas), jnp.asarray(boxes),
+            jnp.asarray(masks), jnp.asarray(mosaic), jnp.asarray(mixup),
+            cfg=self.aug_cfg, max_gt=self.plan.max_boxes, train=train)
+
+    # ------------------------------------------------------------------
+    def run(self, log=print):
+        """Full training per the plan; mirrors train.py:54-121."""
+        plan = self.plan
+        train_ds = YoloDataset(
+            load_annotation_file(plan.train_indexes), plan.image_size,
+            plan.max_boxes, plan.mosaic, plan.mixup, plan.mosaic_prob,
+            plan.mixup_prob, plan.epochs, plan.special_aug_ratio,
+            train=True, seed=plan.seed)
+        val_ds = YoloDataset(
+            load_annotation_file(plan.val_indexes), plan.image_size,
+            plan.max_boxes, train=False, seed=plan.seed)
+
+        steps_per_epoch = max(len(train_ds) // plan.batch_size, 1)
+        sched = LRSchedule(
+            plan.learn_initial, plan.learn_final, plan.epochs, plan.decay,
+            plan.momentum, plan.warmup, plan.warmup_epochs,
+            plan.warmup_max_iter, plan.warmup_momentum, plan.warmup_bias_lr,
+            steps_per_epoch)
+
+        rng = jax.random.PRNGKey(plan.seed)
+        rng, init_rng = jax.random.split(rng)
+        state = self.init_state(init_rng)
+
+        ckpt = try_load(plan.save_path, state) if plan.resume else None
+        if ckpt is not None:
+            state = ckpt
+            log(f"resumed from {plan.save_path} at step {int(state['step'])}")
+
+        step_fn = self.jitted_train_step()
+        eval_fn = self.jitted_eval_loss()
+        best_loss = math.inf
+        history = []
+
+        for epoch in range(plan.epochs):
+            train_ds.epoch_now = epoch
+            t0 = time.time()
+            loss_sum, nsteps = 0.0, 0
+            loader = PrefetchLoader(
+                lambda: train_ds.epoch_batches(plan.batch_size, plan.shuffle,
+                                               plan.drop_last))
+            for batch in loader:
+                step = int(state["step"])
+                hyper = sched(step)
+                rng, aug_rng = jax.random.split(rng)
+                images, labels, lmask = self.augment(aug_rng, batch, True)
+                state, metrics = step_fn(state, images, labels, lmask,
+                                         hyper.lr_weights, hyper.lr_bias,
+                                         hyper.momentum)
+                loss_sum += float(metrics["loss"])
+                nsteps += 1
+            mean_loss = loss_sum / max(nsteps, 1)
+            history.append(mean_loss)
+            ips = nsteps * plan.batch_size / max(time.time() - t0, 1e-9)
+            log(f"epoch {epoch + 1}/{plan.epochs} loss {mean_loss:.4f} "
+                f"lr {sched(int(state['step'])).lr_weights:.6f} {ips:.1f} img/s")
+
+            # best-train-loss gate -> val pass + save (train.py:103-120)
+            if mean_loss <= min(history):
+                val_sum, vn = 0.0, 0
+                for batch in val_ds.epoch_batches(plan.batch_size, False, False):
+                    images, labels, lmask = self.augment(rng, batch, False)
+                    val_sum += float(eval_fn(state["params"],
+                                             state["batch_stats"],
+                                             images, labels, lmask))
+                    vn += 1
+                save_checkpoint(plan.save_path, state)
+                log(f"epoch {epoch + 1} new best {mean_loss:.4f} "
+                    f"(val {val_sum / max(vn, 1):.4f}) -> {plan.save_path}")
+        return state
+
+
+def train(train_cfg_file: str, **kw):
+    """Public API mirroring ``train.py:23``."""
+    plan = TrainPlan(train_cfg_file)
+    trainer = Trainer(plan, **kw)
+    return trainer.run()
