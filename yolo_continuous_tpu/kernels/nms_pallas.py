@@ -1,0 +1,119 @@
+"""Pallas TPU kernel for greedy class-aware NMS suppression.
+
+Replaces the reference's host round-trip per-class ``torchvision.ops.nms``
+(``detect.py:130-140``) at the kernel level. The surrounding stages
+(score computation, threshold, top-K) are single fused XLA ops already;
+the sequential greedy suppression is the part XLA executes as a ~K-step
+while-loop over tiny tensors — here it becomes ONE kernel launch that
+keeps the IoU matrix and the keep-vector in VMEM for the whole loop.
+
+Layout: candidates are padded to a static K (multiple of 128 lanes).
+Inputs are the score-sorted top-K boxes; ``keep[i]`` survives iff no kept
+higher-scored j<i of the same class overlaps it beyond ``iou_thres`` —
+exactly the torchvision keep-set.
+
+Falls back to interpret mode off-TPU (tests run it on CPU).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _nms_kernel(boxes_ref, classes_ref, valid_ref, thr_ref, keep_ref, sup_ref):
+    """boxes (K,4) f32; classes (K,1) i32; valid (K,1) i32; thr (1,1) f32 SMEM;
+    keep (K,1) i32 out; sup (K,K) f32 scratch."""
+    k = boxes_ref.shape[0]
+    x1 = boxes_ref[:, 0:1]
+    y1 = boxes_ref[:, 1:2]
+    x2 = boxes_ref[:, 2:3]
+    y2 = boxes_ref[:, 3:4]
+    area = (x2 - x1) * (y2 - y1)                      # (K,1)
+
+    ix1 = jnp.maximum(x1, x1.T)                        # (K,K)
+    iy1 = jnp.maximum(y1, y1.T)
+    ix2 = jnp.minimum(x2, x2.T)
+    iy2 = jnp.minimum(y2, y2.T)
+    inter = jnp.clip(ix2 - ix1, 0.0, None) * jnp.clip(iy2 - iy1, 0.0, None)
+    iou = inter / (area + area.T - inter + 1e-9)
+
+    same = (classes_ref[:, 0:1] == classes_ref[:, 0:1].T)
+    col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    # sup[i, j] = 1 if i (higher score) would suppress j
+    sup_ref[:, :] = jnp.where(
+        (iou > thr_ref[0, 0]) & same & (col > row), 1.0, 0.0)
+
+    keep_ref[:, :] = valid_ref[:, :]
+
+    def body(i, _):
+        alive = keep_ref[i, 0] > 0
+        row_i = sup_ref[i, :] * jnp.where(alive, 1.0, 0.0)   # (K,)
+        keep_ref[:, 0] = jnp.where(row_i > 0.5, 0, keep_ref[:, 0])
+        return 0
+
+    jax.lax.fori_loop(0, k, body, 0)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def pallas_suppress(boxes: jnp.ndarray, classes: jnp.ndarray,
+                    valid: jnp.ndarray, iou_thres,
+                    interpret: bool = False) -> jnp.ndarray:
+    """(K,4) f32 boxes, (K,) i32 classes, (K,) bool valid -> (K,) bool keep."""
+    k = boxes.shape[0]
+    kp = -(-k // 128) * 128  # pad K to the 128-lane boundary
+    if kp != k:
+        boxes = jnp.pad(boxes, ((0, kp - k), (0, 0)))
+        classes = jnp.pad(classes, (0, kp - k), constant_values=-1)
+        valid = jnp.pad(valid, (0, kp - k))
+    thr = jnp.asarray(iou_thres, jnp.float32).reshape(1, 1)
+    keep = pl.pallas_call(
+        _nms_kernel,
+        out_shape=jax.ShapeDtypeStruct((kp, 1), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((kp, kp), jnp.float32)],
+        interpret=interpret,
+    )(boxes.astype(jnp.float32), classes.astype(jnp.int32).reshape(kp, 1),
+      valid.astype(jnp.int32).reshape(kp, 1), thr)
+    return keep[:k, 0] > 0
+
+
+def nms_single_pallas(pred: jnp.ndarray, conf_thres: float = 0.5,
+                      iou_thres: float = 0.4, max_det: int = 300,
+                      interpret: bool = False):
+    """Drop-in variant of ops.nms.nms_single with the Pallas suppression."""
+    pred = jnp.asarray(pred, jnp.float32)
+    nc = pred.shape[-1] - 5
+    obj = pred[:, 4]
+    cls_conf = jnp.max(pred[:, 5:5 + nc], axis=-1)
+    cls_id = jnp.argmax(pred[:, 5:5 + nc], axis=-1)
+    score = obj * cls_conf
+    ok = score >= conf_thres
+    ranked = jnp.where(ok, score, -1.0)
+    k = min(max_det, pred.shape[0])
+    top_scores, top_idx = jax.lax.top_k(ranked, k)
+    valid = top_scores > 0.0
+    bxywh = pred[top_idx, :4]
+    boxes = jnp.concatenate([bxywh[:, :2] - bxywh[:, 2:] / 2,
+                             bxywh[:, :2] + bxywh[:, 2:] / 2], axis=-1)
+    classes = cls_id[top_idx]
+    keep = pallas_suppress(boxes, classes, valid, iou_thres,
+                           interpret=interpret)
+    if k < max_det:
+        padn = max_det - k
+        boxes = jnp.pad(boxes, ((0, padn), (0, 0)))
+        top_scores = jnp.pad(top_scores, (0, padn))
+        classes = jnp.pad(classes, (0, padn))
+        keep = jnp.pad(keep, (0, padn))
+    return boxes, top_scores, classes, keep

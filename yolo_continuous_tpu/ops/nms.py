@@ -28,10 +28,11 @@ from .boxes import box_iou
 
 def _greedy_suppress(iou: jnp.ndarray, same_class: jnp.ndarray, valid: jnp.ndarray,
                      iou_thres: float) -> jnp.ndarray:
-    """Greedy NMS keep mask over score-sorted candidates.
+    """Greedy NMS keep mask over score-sorted candidates (sequential oracle).
 
     Exact sequential semantics: element i is kept iff no kept j<i
-    suppresses it. O(K) fori_loop with O(K) vector body.
+    suppresses it. O(K) fori_loop with O(K) vector body. Kept as the
+    correctness oracle for ``_fixpoint_suppress`` (the default).
     """
     k = iou.shape[0]
     suppress = (iou > iou_thres) & same_class  # (K, K)
@@ -44,6 +45,36 @@ def _greedy_suppress(iou: jnp.ndarray, same_class: jnp.ndarray, valid: jnp.ndarr
 
     keep0 = valid
     return jax.lax.fori_loop(0, k, body, keep0)
+
+
+def _fixpoint_suppress(iou: jnp.ndarray, same_class: jnp.ndarray,
+                       valid: jnp.ndarray, iou_thres: float) -> jnp.ndarray:
+    """Exact greedy NMS as a dataflow fixpoint (TPU-native default).
+
+    keep_{t+1}[j] = valid[j] & not any_i (sup[i, j] & keep_t[i]) with
+    sup[i, j] = higher-scored i would suppress j. Correct values
+    propagate down the suppression DAG one depth level per iteration
+    (induction on chain depth), so the while-loop converges to exactly
+    the sequential greedy keep-set in (max chain depth + 1) iterations —
+    typically 2-5 MXU matvecs instead of K sequential steps.
+    """
+    k = iou.shape[0]
+    idx = jnp.arange(k)
+    sup = ((iou > iou_thres) & same_class &
+           (idx[None, :] > idx[:, None])).astype(jnp.float32)
+
+    def cond(carry):
+        keep, prev, it = carry
+        return (it < k) & jnp.any(keep != prev)
+
+    def body(carry):
+        keep, prev, it = carry
+        hit = (keep.astype(jnp.float32) @ sup) > 0.5
+        return valid & ~hit, keep, it + 1
+
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (valid, jnp.zeros_like(valid), jnp.int32(0)))
+    return keep
 
 
 @partial(jax.jit, static_argnames=("max_det", "per_class"))
@@ -76,7 +107,7 @@ def nms_single(
 
     iou = box_iou(boxes, boxes)
     same_class = (classes[:, None] == classes[None, :]) if per_class else jnp.ones_like(iou, bool)
-    keep = _greedy_suppress(iou, same_class, valid, iou_thres)
+    keep = _fixpoint_suppress(iou, same_class, valid, iou_thres)
 
     if k < max_det:  # pad up to static capacity
         padn = max_det - k
