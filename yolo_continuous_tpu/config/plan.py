@@ -48,7 +48,7 @@ def _resolve_sibling(cfg_file: str, path: str) -> str:
     back to a file of the same basename next to this plan's cfg tree, so the
     reference YAMLs work unchanged on this machine.
     """
-    if path is None:
+    if path is None or isinstance(path, dict):  # inline cfg dicts pass through
         return path
     p = str(path).replace("\\", "/")
     if os.path.exists(p):

@@ -112,8 +112,13 @@ class Detector:
             outs = self.model.apply(
                 {"params": params, "batch_stats": batch_stats}, images, False)
             outs = outs[: self.nl]  # IAuxDetect: leads only (iaux_detect.py:52)
-            pred = decode_outputs(outs, spec.anchors, spec.strides,
-                                  normalized=True)  # (bs, total, 5+nc)
+            if spec.head_name == "IBin":
+                from .ops.decode import decode_outputs_bin
+                pred = decode_outputs_bin(outs, spec.anchors, spec.strides,
+                                          spec.bin_count, normalized=True)
+            else:
+                pred = decode_outputs(outs, spec.anchors, spec.strides,
+                                      normalized=True)  # (bs, total, 5+nc)
             return batched_nms(pred, conf_thres, nms_thres, max_det)
 
         return infer

@@ -62,3 +62,46 @@ def decode_outputs(
     for p, a, s in zip(preds, anchors, strides):
         outs.append(decode_level(p, jnp.asarray(a, jnp.float32), float(s), normalized))
     return jnp.concatenate(outs, axis=1)
+
+
+def decode_level_bin(
+    pred: jnp.ndarray,              # (bs, h, w, na, nc+3+2*(bins+1)) raw
+    anchors_px: jnp.ndarray,
+    stride: float,
+    bin_count: int = 21,
+    normalized: bool = True,
+) -> jnp.ndarray:
+    """IBin in-head decode (nets/ibin.py:46-75) -> (bs, hw*na, 5+nc).
+
+    w/h come from the SigmoidBin argmax+residual over the sigmoided bins
+    scaled by the pixel anchors; xy/obj/cls as usual.
+    """
+    from .sigmoid_bin import SigmoidBinCfg, sigmoid_bin_decode
+    cfgb = SigmoidBinCfg(bin_count=bin_count, vmin=0.0, vmax=4.0)
+    L = cfgb.length
+    bs, h, w, na, _ = pred.shape
+    y = 1.0 / (1.0 + jnp.exp(-jnp.asarray(pred, jnp.float32)))
+    gx, gy = _grid_hw(h, w)
+    bx = (y[..., 0] * 2.0 - 0.5 + gx[None, :, :, None]) * stride
+    by = (y[..., 1] * 2.0 - 0.5 + gy[None, :, :, None]) * stride
+    wr = sigmoid_bin_decode(y[..., 2:2 + L], cfgb)
+    hr = sigmoid_bin_decode(y[..., 2 + L:2 + 2 * L], cfgb)
+    bw = wr * anchors_px[None, None, None, :, 0]
+    bh = hr * anchors_px[None, None, None, :, 1]
+    rest = y[..., 2 + 2 * L:]  # obj, cls...
+    if normalized:
+        s = float(stride)
+        scale = jnp.array([w * s, h * s, w * s, h * s], jnp.float32)
+        box = jnp.stack([bx, by, bw, bh], -1) / scale
+    else:
+        box = jnp.stack([bx, by, bw, bh], -1)
+    out = jnp.concatenate([box, rest], axis=-1)
+    return out.reshape(bs, h * w * na, out.shape[-1])
+
+
+def decode_outputs_bin(preds, anchors, strides, bin_count: int = 21,
+                       normalized: bool = True) -> jnp.ndarray:
+    outs = [decode_level_bin(p, jnp.asarray(a, jnp.float32), float(s),
+                             bin_count, normalized)
+            for p, a, s in zip(preds, anchors, strides)]
+    return jnp.concatenate(outs, axis=1)

@@ -56,10 +56,6 @@ class Trainer:
         model_cfg = cvt_cfg(plan.model_cfg)
         self.spec = build_model_spec(model_cfg, plan.image_chan, plan.anchors,
                                      plan.num_labels, plan.anchors_mask)
-        if self.spec.head_name == "IBin":
-            raise NotImplementedError(
-                "IBin training loss lands with the sigmoid-bin loss variant; "
-                "inference decode is supported (ops/sigmoid_bin.py)")
         self.model = YoloModel(spec=self.spec, dtype=self.dtype)
         self.nl = len(self.spec.strides)
 
@@ -98,6 +94,9 @@ class Trainer:
 
     def loss_from_outputs(self, outs, labels, lmask):
         lead, aux = self._split_heads(outs)
+        if self.spec.head_name == "IBin":
+            from ..losses.bin_loss import bin_yolo_loss
+            return bin_yolo_loss(lead, labels, lmask, self.loss_cfg)
         return yolo_loss(lead, labels, lmask, self.loss_cfg, aux_preds=aux)
 
     # ------------------------------------------------------------------
