@@ -1,0 +1,77 @@
+"""Full Trainer.run() on a real (synthetic-image) dataset: decode ->
+staging -> device aug -> train steps -> checkpoint -> resume."""
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+import jax
+import jax.numpy as jnp
+
+from yolo_continuous_tpu.config.plan import TrainPlan
+from yolo_continuous_tpu.data.dataset import (YoloDataset,
+                                              load_annotation_file,
+                                              parse_annotation_lines)
+from yolo_continuous_tpu.train.train_loop import Trainer
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds")
+    rs = np.random.RandomState(0)
+    lines = []
+    for i in range(6):
+        img = rs.randint(0, 255, (48 + 8 * i, 64, 3), np.uint8)
+        p = str(root / f"im{i}.jpg")
+        cv2.imwrite(p, img)
+        # one box per image
+        lines.append(f"{p} 5,5,30,30,0\n")
+    ann = root / "train.txt"
+    ann.write_text("".join(lines))
+    return str(ann)
+
+
+def _plan(ann, tmp_path):
+    cfg = yaml.safe_load(open("cfg/chip_tiny.yaml"))
+    cfg.update(dict(train=ann, val=ann, epochs=2, batch_size=2,
+                    image_size=64, max_boxes=8, workers=0,
+                    save_dir=str(tmp_path), save_name="t", resume=True,
+                    warmup=True, warmup_epochs=1, warmup_max_iter=4))
+    return TrainPlan(cfg)
+
+
+def test_parse_annotation_lines():
+    anns = parse_annotation_lines(["/a/b.jpg 1,2,3,4,0 5,6,7,8,1", "", "/c.jpg"])
+    assert len(anns) == 2
+    assert anns[0].boxes.shape == (2, 5)
+    assert anns[1].boxes.shape == (0, 5)
+
+
+def test_dataset_batches(tiny_dataset):
+    ds = YoloDataset(load_annotation_file(tiny_dataset), image_size=64,
+                     max_boxes=8, train=True, epoch_length=2)
+    batches = list(ds.epoch_batches(2, shuffle=True, drop_last=True))
+    assert len(batches) == 3
+    tiles, metas, boxes, masks, mosaic, mixup = batches[0]
+    assert tiles.shape == (2, 4, 64, 64, 3)
+    assert masks.any()
+
+
+def test_trainer_run_and_resume(tiny_dataset, tmp_path):
+    plan = _plan(tiny_dataset, tmp_path)
+    logs = []
+    tr = Trainer(plan, dtype=jnp.float32)
+    state = tr.run(log=logs.append)
+    assert int(state["step"]) == 6  # 2 epochs x 3 steps
+    assert os.path.exists(plan.save_path + ".last")
+    assert any("best" in l for l in logs)
+
+    # resume continues from the saved step
+    tr2 = Trainer(plan, dtype=jnp.float32)
+    logs2 = []
+    state2 = tr2.run(log=logs2.append)
+    assert any("resumed at step 6" in l for l in logs2)
+    assert int(state2["step"]) == 12

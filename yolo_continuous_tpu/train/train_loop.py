@@ -176,10 +176,17 @@ class Trainer:
         rng, init_rng = jax.random.split(rng)
         state = self.init_state(init_rng)
 
-        ckpt = try_load(plan.save_path, state) if plan.resume else None
+        # exact resume prefers the every-epoch 'last' checkpoint; the
+        # best-loss checkpoint (reference parity, train.py:38-39) is the
+        # fallback. SURVEY §5: the reference loses everything since the
+        # last best-loss save on a crash.
+        last_path = plan.save_path + ".last"
+        ckpt = None
+        if plan.resume:
+            ckpt = try_load(last_path, state) or try_load(plan.save_path, state)
         if ckpt is not None:
             state = ckpt
-            log(f"resumed from {plan.save_path} at step {int(state['step'])}")
+            log(f"resumed at step {int(state['step'])}")
 
         step_fn = self.jitted_train_step()
         eval_fn = self.jitted_eval_loss()
@@ -208,6 +215,8 @@ class Trainer:
             ips = nsteps * plan.batch_size / max(time.time() - t0, 1e-9)
             log(f"epoch {epoch + 1}/{plan.epochs} loss {mean_loss:.4f} "
                 f"lr {sched(int(state['step'])).lr_weights:.6f} {ips:.1f} img/s")
+
+            save_checkpoint(last_path, state)  # crash-safe step-level resume
 
             # best-train-loss gate -> val pass + save (train.py:103-120)
             if mean_loss <= min(history):
