@@ -75,3 +75,22 @@ def test_trainer_run_and_resume(tiny_dataset, tmp_path):
     state2 = tr2.run(log=logs2.append)
     assert any("resumed at step 6" in l for l in logs2)
     assert int(state2["step"]) == 12
+
+
+def test_native_loader_matches_cv2_path(tiny_dataset):
+    from yolo_continuous_tpu.data import native_loader
+    if not native_loader.ensure_built():
+        pytest.skip("native staging library not buildable here")
+    anns = load_annotation_file(tiny_dataset)
+    ds_py = YoloDataset(anns, image_size=64, max_boxes=8, train=False,
+                        seed=3, use_native=False)
+    ds_nat = YoloDataset(anns, image_size=64, max_boxes=8, train=False,
+                         seed=3, use_native=True)
+    b1 = ds_py.batch([0, 1])
+    b2 = ds_nat.batch([0, 1])
+    np.testing.assert_allclose(b1[1], b2[1], atol=1e-5)   # metas identical
+    np.testing.assert_array_equal(b1[2], b2[2])           # boxes identical
+    np.testing.assert_array_equal(b1[3], b2[3])           # masks identical
+    # pixels: bilinear (native) vs cubic (cv2) staging -> close, not equal
+    diff = np.abs(b1[0][:, 0].astype(int) - b2[0][:, 0].astype(int))
+    assert diff.mean() < 3.0

@@ -86,6 +86,7 @@ class YoloDataset:
         special_aug_ratio: float = 0.7,   # yolo_dataset_git.py:54
         train: bool = True,
         seed: int = 0,
+        use_native: bool = None,
     ):
         self.annotations = list(annotations)
         self.size = image_size
@@ -100,6 +101,10 @@ class YoloDataset:
         self.rng = np.random.RandomState(seed)
         self.epoch_now = 0
         self._cache: dict = {}
+        if use_native is None:
+            from . import native_loader
+            use_native = native_loader.available()
+        self.use_native = use_native
 
     def __len__(self):
         return len(self.annotations)
@@ -129,22 +134,28 @@ class YoloDataset:
         boxes = np.zeros((4, MB, 5), np.float32)
         masks = np.zeros((4, MB), bool)
 
+        idxs, use_mosaic, use_mixup = self._tile_plan(idx)
+        for t, j in enumerate(idxs):
+            tiles[t], metas[t], boxes[t], masks[t] = self._staged(j)
+        return tiles, metas, boxes, masks, use_mosaic, use_mixup
+
+    def _tile_plan(self, idx: int):
+        """Decide mosaic/mixup + which annotation feeds each tile slot."""
         use_mosaic = bool(
             self.train and self.mosaic and self.rng.rand() < self.mosaic_prob
             and self.epoch_now < self.epoch_length * self.special_aug_ratio)
         use_mixup = bool(self.train and use_mosaic and self.mixup
                          and self.rng.rand() < self.mixup_prob)
-
         idxs = [idx]
         if use_mosaic:
             extra = self.rng.randint(0, len(self.annotations), 3).tolist()
             idxs = extra + [idx]
-            self.rng.shuffle(idxs)  # yolo_dataset_git.py:55-57
-        for t, j in enumerate(idxs):
-            tiles[t], metas[t], boxes[t], masks[t] = self._staged(j)
-        return tiles, metas, boxes, masks, use_mosaic, use_mixup
+            self.rng.shuffle(idxs)
+        return idxs, use_mosaic, use_mixup
 
     def batch(self, indices: Sequence[int]):
+        if self.use_native:
+            return self._batch_native(indices)
         outs = [self.sample(i) for i in indices]
         tiles = np.stack([o[0] for o in outs])
         metas = np.stack([o[1] for o in outs])
@@ -152,6 +163,39 @@ class YoloDataset:
         masks = np.stack([o[3] for o in outs])
         mosaic = np.array([o[4] for o in outs], bool)
         mixup = np.array([o[5] for o in outs], bool)
+        return tiles, metas, boxes, masks, mosaic, mixup
+
+    def _batch_native(self, indices: Sequence[int]):
+        """Batched staging through the C++ thread-pool library."""
+        from .native_loader import stage_batch_native
+        B, S, MB = len(indices), self.size, self.max_boxes
+        plans = [self._tile_plan(i) for i in indices]
+        slots = []   # (sample_pos, tile_pos, annotation_index)
+        for b, (idxs, _, _) in enumerate(plans):
+            for t, j in enumerate(idxs):
+                slots.append((b, t, j))
+        paths = [self.annotations[j].path for _, _, j in slots]
+        flat_tiles, flat_metas, ok = stage_batch_native(paths, S, 128)
+
+        tiles = np.zeros((B, 4, S, S, 3), np.uint8)
+        metas = np.zeros((B, 4, 5), np.float32)
+        metas[:, :, :3] = 1.0
+        boxes = np.zeros((B, 4, MB, 5), np.float32)
+        masks = np.zeros((B, 4, MB), bool)
+        for k, (b, t, j) in enumerate(slots):
+            if not ok[k]:  # decode failure (e.g. non-JPEG) -> cv2 fallback
+                tiles[b, t], metas[b, t], boxes[b, t], masks[b, t] = \
+                    self._staged(j)
+                continue
+            tiles[b, t] = flat_tiles[k]
+            metas[b, t] = flat_metas[k]
+            ann = self.annotations[j]
+            n = min(len(ann.boxes), MB)
+            if n:
+                boxes[b, t, :n] = ann.boxes[:n]
+                masks[b, t, :n] = True
+        mosaic = np.array([p[1] for p in plans], bool)
+        mixup = np.array([p[2] for p in plans], bool)
         return tiles, metas, boxes, masks, mosaic, mixup
 
     # -- epoch iteration ---------------------------------------------------
