@@ -212,6 +212,34 @@ class YoloDataset:
         self.epoch_now += 1
 
 
+class InfiniteLoader:
+    """Endless batch iterator that re-shuffles per epoch without restarting
+    workers — the role of InfiniteDataLoader/RepeatSampler
+    (dataset/infinite_dataLoader.py:4-36). ``take(n)`` yields n batches.
+    """
+
+    def __init__(self, dataset: "YoloDataset", batch_size: int,
+                 shuffle: bool = True, drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        while True:
+            yield from self.dataset.epoch_batches(self.batch_size,
+                                                  self.shuffle, self.drop_last)
+
+    def take(self, n: int):
+        it = iter(self)
+        for _ in range(n):
+            yield next(it)
+
+
 class PrefetchLoader:
     """Background-thread prefetch (replaces InfiniteDataLoader workers)."""
 

@@ -165,11 +165,16 @@ def _simota_match(tbox_xyxy, tcls, tmask, pbox_xyxy, p_obj, p_cls, cand_mask,
 
     cost = cls_cost + 3.0 * iou_cost                              # :241
     cost = jnp.where(pair_mask, cost, _BIG)
+    # deterministic tie-break by candidate index (torch top-k picks exactly
+    # k on ties; the epsilon keeps our threshold form doing the same)
+    cost = cost + jnp.arange(N, dtype=jnp.float32)[None, :] * 1e-6
 
-    # top-k smallest per gt via rank < dynamic_k; replaces :244-247
-    order = jnp.argsort(cost, axis=1)                             # (G,N) ascending
-    rank = jnp.argsort(order, axis=1)
-    matching = (rank < dynamic_k[:, None]) & (cost < _BIG / 2)    # (G,N)
+    # dynamic_k smallest per gt via a bounded top-k (dynamic_k <= topk),
+    # replacing the reference's per-gt topk loop (:244-247) AND the full
+    # argsort-rank formulation — O(N log k) instead of O(N log N)
+    neg_top, _ = jax.lax.top_k(-cost, k)                          # (G,k) sorted
+    kth_val = jnp.take_along_axis(-neg_top, dynamic_k[:, None] - 1, axis=1)
+    matching = (cost <= kth_val) & (cost < _BIG / 2)              # (G,N)
 
     # conflict resolution; :252-256 (argmin over ALL gts of the column)
     colsum = jnp.sum(matching, axis=0)
