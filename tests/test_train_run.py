@@ -94,3 +94,30 @@ def test_native_loader_matches_cv2_path(tiny_dataset):
     # pixels: bilinear (native) vs cubic (cv2) staging -> close, not equal
     diff = np.abs(b1[0][:, 0].astype(int) - b2[0][:, 0].astype(int))
     assert diff.mean() < 3.0
+
+
+def test_validate_pipeline(tiny_dataset, tmp_path):
+    """mAP validation end-to-end on the synthetic dataset (random weights)."""
+    from yolo_continuous_tpu.detect_api import Detector
+    from yolo_continuous_tpu.eval.validate import validate
+    plan = _plan(tiny_dataset, tmp_path)
+    plan.save_path = "/nonexistent/x.msgpack"
+    det = Detector(plan, dtype=jnp.float32)
+    out = validate(plan, detector=det, conf_thres=0.0, max_images=4,
+                   log=lambda *_: None)
+    assert set(out) == {"mAP@0.5", "mAP@0.5:0.95"}
+    assert 0.0 <= out["mAP@0.5"] <= 1.0
+
+
+def test_seed_determinism(tiny_dataset, tmp_path):
+    """Same seed => identical first-epoch loss (SURVEY §5: deterministic
+    PRNG plumbing makes loader race classes structurally impossible)."""
+    losses = []
+    for _ in range(2):
+        plan = _plan(tiny_dataset, tmp_path)
+        plan.epochs = 1
+        plan.resume = False
+        logs = []
+        Trainer(plan, dtype=jnp.float32).run(log=logs.append)
+        losses.append([l for l in logs if "loss" in l][0])
+    assert losses[0] == losses[1]
