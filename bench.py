@@ -29,7 +29,7 @@ def main():
     from yolo_continuous_tpu.config.plan import TrainPlan
     from yolo_continuous_tpu.train.train_loop import Trainer
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     size = 640
     nc = 80
 

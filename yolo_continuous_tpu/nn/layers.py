@@ -22,6 +22,7 @@ output at init; upstream YOLOR uses mean=1.
 from __future__ import annotations
 
 import math
+from math import prod as np_prod
 from typing import Any, Optional, Sequence, Tuple, Union
 
 import jax
@@ -90,26 +91,56 @@ def conv2d(
 
 
 class BatchNorm(nn.Module):
-    """fp32 BatchNorm with torch-default hyperparameters (eps 1e-5, mom 0.1).
+    """BatchNorm: fp32 statistics/params, elementwise math in the input dtype.
 
-    Scale init normal(1, 0.02) per nets/yolo.py:121-123.
+    torch-default hyperparameters (eps 1e-5, momentum 0.1 -> flax 0.9);
+    scale init normal(1, 0.02) per nets/yolo.py:121-123.
+
+    TPU note: flax's BatchNorm in fp32 would materialize an fp32 copy of
+    every activation (2x HBM traffic on the bf16 path). Here only the
+    channel reductions run in fp32; the normalize itself stays bf16 with
+    fp32-folded (inv, shift) scalars broadcast per channel.
     """
     momentum: float = 0.9
     epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        in_dtype = x.dtype
-        y = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=self.momentum,
-            epsilon=self.epsilon,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-            scale_init=_bn_scale_init,
-            name="bn",
-        )(x.astype(jnp.float32))
-        return y.astype(in_dtype)
+        # inner module named 'bn' keeps the parameter tree layout of the
+        # previous flax.BatchNorm version (.../bn/bn/{scale,bias,mean,var})
+        return _BNCore(self.momentum, self.epsilon, name="bn")(x, train)
+
+
+class _BNCore(nn.Module):
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        scale = self.param("scale", _bn_scale_init, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if train:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axes)
+            mean2 = jnp.mean(jnp.square(xf), axes)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                n = float(np_prod(x.shape[:-1]))
+                unbiased = var * (n / max(n - 1.0, 1.0))  # torch running-var
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        inv = scale * jax.lax.rsqrt(var + self.epsilon)
+        shift = bias - mean * inv
+        return x * inv.astype(x.dtype) + shift.astype(x.dtype)
 
 
 def _bn_scale_init(key, shape, dtype=jnp.float32):
