@@ -77,15 +77,7 @@ def _fixpoint_suppress(iou: jnp.ndarray, same_class: jnp.ndarray,
     return keep
 
 
-@partial(jax.jit, static_argnames=("max_det", "per_class"))
-def nms_single(
-    pred: jnp.ndarray,            # (N, 5+nc): cx,cy,w,h (any consistent units), obj, cls...
-    conf_thres: float = 0.5,
-    iou_thres: float = 0.4,
-    max_det: int = 300,
-    per_class: bool = True,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One image -> (boxes_xyxy (max_det,4), scores, classes, valid)."""
+def _nms_core(pred, conf_thres, iou_thres, max_det, per_class, use_pallas):
     pred = jnp.asarray(pred, jnp.float32)
     nc = pred.shape[-1] - 5
     obj = pred[:, 4]
@@ -105,9 +97,15 @@ def nms_single(
          boxes_xywh[:, :2] + boxes_xywh[:, 2:] / 2], axis=-1)  # detect.py:98-103
     classes = cls_id[top_idx]
 
-    iou = box_iou(boxes, boxes)
-    same_class = (classes[:, None] == classes[None, :]) if per_class else jnp.ones_like(iou, bool)
-    keep = _fixpoint_suppress(iou, same_class, valid, iou_thres)
+    if use_pallas:
+        from ..kernels.nms_pallas import pallas_suppress
+        classes_for_sup = classes if per_class else jnp.zeros_like(classes)
+        keep = pallas_suppress(boxes, classes_for_sup, valid, iou_thres)
+    else:
+        iou = box_iou(boxes, boxes)
+        same_class = (classes[:, None] == classes[None, :]) if per_class \
+            else jnp.ones((k, k), bool)
+        keep = _fixpoint_suppress(iou, same_class, valid, iou_thres)
 
     if k < max_det:  # pad up to static capacity
         padn = max_det - k
@@ -118,17 +116,50 @@ def nms_single(
     return boxes, top_scores, classes, keep
 
 
-@partial(jax.jit, static_argnames=("max_det", "per_class"))
+def _auto_pallas(use_pallas):
+    if use_pallas is None:
+        # the Pallas kernel measures ~1.5x faster at production candidate
+        # counts on TPU (25200 -> 300: 1.18ms vs 1.80ms); off-TPU use XLA
+        return jax.default_backend() == "tpu"
+    return use_pallas
+
+
+@partial(jax.jit, static_argnames=("max_det", "per_class", "use_pallas"))
+def _nms_single_jit(pred, conf_thres, iou_thres, max_det, per_class, use_pallas):
+    return _nms_core(pred, conf_thres, iou_thres, max_det, per_class, use_pallas)
+
+
+def nms_single(
+    pred: jnp.ndarray,            # (N, 5+nc): cx,cy,w,h (any consistent units), obj, cls...
+    conf_thres: float = 0.5,
+    iou_thres: float = 0.4,
+    max_det: int = 300,
+    per_class: bool = True,
+    use_pallas: bool = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One image -> (boxes_xyxy (max_det,4), scores, classes, valid)."""
+    return _nms_single_jit(pred, conf_thres, iou_thres, max_det, per_class,
+                           _auto_pallas(use_pallas))
+
+
+@partial(jax.jit, static_argnames=("max_det", "per_class", "use_pallas"))
+def _batched_nms_jit(pred, conf_thres, iou_thres, max_det, per_class, use_pallas):
+    return jax.vmap(
+        lambda p: _nms_core(p, conf_thres, iou_thres, max_det, per_class,
+                            use_pallas)
+    )(jnp.asarray(pred, jnp.float32))
+
+
 def batched_nms(
     pred: jnp.ndarray,            # (bs, N, 5+nc)
     conf_thres: float = 0.5,
     iou_thres: float = 0.4,
     max_det: int = 300,
     per_class: bool = True,
+    use_pallas: bool = None,
 ):
-    return jax.vmap(
-        lambda p: nms_single(p, conf_thres, iou_thres, max_det, per_class)
-    )(jnp.asarray(pred, jnp.float32))
+    return _batched_nms_jit(pred, conf_thres, iou_thres, max_det, per_class,
+                            _auto_pallas(use_pallas))
 
 
 def yolo_correct_boxes(
