@@ -55,14 +55,22 @@ def main():
     step = trainer.jitted_train_step()
     # warm-up/compile
     state, metrics = step(state, images, labels, lmask, 0.01, 0.1, 0.937)
-    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])
 
+    def run(n):
+        nonlocal state
+        t0 = time.perf_counter()
+        m = None
+        for _ in range(n):
+            state, m = step(state, images, labels, lmask, 0.01, 0.1, 0.937)
+        _ = float(m["loss"])  # real host sync (block_until_ready is
+        return time.perf_counter() - t0  # unreliable through the tunnel)
+
+    # the state chains step-to-step, so every iteration executes for real;
+    # subtracting a 1-iteration run cancels the per-sync tunnel RTT.
+    t1 = run(1)
     iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step(state, images, labels, lmask, 0.01, 0.1, 0.937)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
+    dt = max(run(iters + 1) - t1, 1e-9)
     ips = iters * batch / dt
 
     print(json.dumps({
