@@ -153,17 +153,32 @@ class YoloDataset:
             self.rng.shuffle(idxs)
         return idxs, use_mosaic, use_mixup
 
+    @property
+    def n_tiles(self) -> int:
+        """4 tile slots when mosaic can fire this phase, else 1 (less
+        host->device traffic; ops/augment handles both statically)."""
+        mosaic_possible = (self.train and self.mosaic
+                           and self.epoch_now < self.epoch_length
+                           * self.special_aug_ratio)
+        return 4 if mosaic_possible else 1
+
     def batch(self, indices: Sequence[int]):
+        nt = self.n_tiles
         if self.use_native:
-            return self._batch_native(indices)
-        outs = [self.sample(i) for i in indices]
-        tiles = np.stack([o[0] for o in outs])
-        metas = np.stack([o[1] for o in outs])
-        boxes = np.stack([o[2] for o in outs])
-        masks = np.stack([o[3] for o in outs])
-        mosaic = np.array([o[4] for o in outs], bool)
-        mixup = np.array([o[5] for o in outs], bool)
-        return tiles, metas, boxes, masks, mosaic, mixup
+            out = self._batch_native(indices)
+        else:
+            outs = [self.sample(i) for i in indices]
+            out = (np.stack([o[0] for o in outs]),
+                   np.stack([o[1] for o in outs]),
+                   np.stack([o[2] for o in outs]),
+                   np.stack([o[3] for o in outs]),
+                   np.array([o[4] for o in outs], bool),
+                   np.array([o[5] for o in outs], bool))
+        if nt == 1:
+            tiles, metas, boxes, masks, mosaic, mixup = out
+            out = (tiles[:, :1], metas[:, :1], boxes[:, :1], masks[:, :1],
+                   np.zeros_like(mosaic), np.zeros_like(mixup))
+        return out
 
     def _batch_native(self, indices: Sequence[int]):
         """Batched staging through the C++ thread-pool library."""

@@ -303,7 +303,7 @@ def augment_batch(
     Eval mode (train=False) reproduces the deterministic letterbox branch
     (yolo_dataset_git.py:118-147): the staging canvas IS that output.
     """
-    B = tiles.shape[0]
+    B, T = tiles.shape[0], tiles.shape[1]
     tiles_f = tiles.astype(jnp.float32)
 
     if not train:
@@ -326,9 +326,13 @@ def augment_batch(
 
     def one(k, tile4, meta4, box4, bm4, use_mosaic):
         k1, k2 = jax.random.split(k)
-        m_img, m_bx, m_bm = augment_mosaic(k1, tile4, meta4, box4, bm4, cfg)
         s_img, s_bx, s_bm = augment_single(k2, tile4[0], meta4[0], box4[0],
                                            bm4[0], cfg)
+        if T == 1:
+            # single-tile batches (mosaic disabled at the loader): skip the
+            # mosaic branch entirely — 4x less host->device traffic
+            return s_img, s_bx, s_bm
+        m_img, m_bx, m_bm = augment_mosaic(k1, tile4, meta4, box4, bm4, cfg)
         pad = m_bx.shape[0] - s_bx.shape[0]
         s_bx = jnp.pad(s_bx, ((0, pad), (0, 0)))
         s_bm = jnp.pad(s_bm, (0, pad))
