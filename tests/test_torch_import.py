@@ -1,0 +1,127 @@
+"""Cross-framework forward parity: torch reference weights -> our model.
+
+Loads the mounted reference implementation (shimming torchvision, which
+isn't installed), initializes its Model, converts the state_dict with
+tools/torch_import, and compares eval-mode outputs on the same input.
+This validates padding, BN semantics, activation, concat ordering, and
+head wiring layer by layer. Skipped when /root/reference isn't mounted.
+"""
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+import yaml
+
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference tree not mounted")
+
+
+@pytest.fixture(scope="module")
+def torch_ref():
+    torch = pytest.importorskip("torch")
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        ops = types.ModuleType("torchvision.ops")
+        ops.nms = None
+        tv.ops = ops
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.ops"] = ops
+    sys.path.insert(0, REF)
+    try:
+        from nets.yolo import Model, WeightInitial
+    finally:
+        sys.path.remove(REF)
+    return torch, Model, WeightInitial
+
+
+ANCHORS = [[12, 16, 19, 36, 40, 28], [36, 75, 76, 55, 72, 146],
+           [142, 110, 192, 243, 459, 401]]
+
+
+def test_tiny_forward_parity(torch_ref):
+    torch, Model, WeightInitial = torch_ref
+    from yolo_continuous_tpu.nn.builder import YoloModel, build_model_spec
+    from yolo_continuous_tpu.tools.torch_import import convert_state_dict
+
+    nc = 2
+    with open(os.path.join(REF, "cfg/net/yolov7-tiny.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    torch.manual_seed(0)
+    tm = Model(cfg, ANCHORS, nc, weight_initial=WeightInitial.Random)
+    tm.eval()
+    # randomize running stats so the BN fold is actually exercised
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.1)
+                m.running_var.copy_(torch.rand_like(m.running_var) + 0.5)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+
+    with open("cfg/net/yolov7-tiny.yaml") as f:
+        ours_cfg = yaml.safe_load(f)
+    spec = build_model_spec(ours_cfg, 3, ANCHORS, nc)
+    model = YoloModel(spec=spec)
+    x_np = np.random.RandomState(0).rand(1, 96, 96, 3).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x_np), False)
+
+    params, batch_stats = convert_state_dict(
+        sd, spec, variables["params"], variables["batch_stats"], strict=True)
+
+    ours = model.apply({"params": jax.tree.map(jnp.asarray, params),
+                        "batch_stats": jax.tree.map(jnp.asarray, batch_stats)},
+                       jnp.asarray(x_np), False)
+
+    with torch.no_grad():
+        tout = tm(torch.from_numpy(x_np.transpose(0, 3, 1, 2)))
+
+    assert len(ours) == len(tout) == 3
+    for o, t in zip(ours, tout):
+        bs, no_na, h, w = t.shape
+        na = o.shape[3]
+        t5 = t.numpy().reshape(bs, na, no_na // na, h, w).transpose(0, 3, 4, 1, 2)
+        np.testing.assert_allclose(np.asarray(o), t5, atol=2e-3, rtol=1e-3)
+
+
+def test_yolov7_forward_parity(torch_ref):
+    """Full yolov7: exercises SPPCSPC and the 3-branch RepConv mapping."""
+    torch, Model, WeightInitial = torch_ref
+    from yolo_continuous_tpu.nn.builder import YoloModel, build_model_spec
+    from yolo_continuous_tpu.tools.torch_import import convert_state_dict
+
+    nc = 1
+    with open(os.path.join(REF, "cfg/net/yolov7.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    torch.manual_seed(1)
+    tm = Model(cfg, ANCHORS, nc, weight_initial=WeightInitial.Random)
+    tm.eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.1)
+                m.running_var.copy_(torch.rand_like(m.running_var) + 0.5)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+
+    with open("cfg/net/yolov7.yaml") as f:
+        ours_cfg = yaml.safe_load(f)
+    spec = build_model_spec(ours_cfg, 3, ANCHORS, nc)
+    model = YoloModel(spec=spec)
+    x_np = np.random.RandomState(1).rand(1, 96, 96, 3).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x_np), False)
+    params, batch_stats = convert_state_dict(
+        sd, spec, variables["params"], variables["batch_stats"], strict=True)
+    ours = model.apply({"params": jax.tree.map(jnp.asarray, params),
+                        "batch_stats": jax.tree.map(jnp.asarray, batch_stats)},
+                       jnp.asarray(x_np), False)
+    with torch.no_grad():
+        tout = tm(torch.from_numpy(x_np.transpose(0, 3, 1, 2)))
+    for o, t in zip(ours, tout):
+        bs, no_na, h, w = t.shape
+        na = o.shape[3]
+        t5 = t.numpy().reshape(bs, na, no_na // na, h, w).transpose(0, 3, 4, 1, 2)
+        np.testing.assert_allclose(np.asarray(o), t5, atol=5e-3, rtol=2e-3)
