@@ -21,7 +21,11 @@ def main():
     ap.add_argument("--nms", type=float, default=0.3)
     ap.add_argument("--save", default=None, help="write rendered image here")
     ap.add_argument("--show", action="store_true")
+    ap.add_argument("--device", default="", help="backend: '', 'cpu', 'tpu'")
     args = ap.parse_args()
+    if args.device:
+        from yolo_continuous_tpu.utils.timing import select_device
+        select_device(args.device)
     predict(args.cfg, args.image, conf_threshold=args.conf,
             nms_threshold=args.nms, save_path=args.save, show=args.show)
 

@@ -19,7 +19,13 @@ def main():
     ap = argparse.ArgumentParser(description="Train a detector from a plan YAML")
     ap.add_argument("cfg", nargs="?", default="cfg/voc_train.yaml",
                     help="train-plan YAML (default: cfg/voc_train.yaml)")
+    ap.add_argument("--device", default="",
+                    help="backend: '' (default), 'cpu', 'tpu' "
+                         "(select_device analogue)")
     args = ap.parse_args()
+    if args.device:
+        from yolo_continuous_tpu.utils.timing import select_device
+        select_device(args.device)
     train(check_file(args.cfg))
 
 
