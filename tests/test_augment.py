@@ -101,3 +101,27 @@ def test_boxes_to_labels():
     mask = jnp.asarray([[True]])
     lab = np.asarray(boxes_to_labels(boxes, mask, 100))
     np.testing.assert_allclose(lab[0, 0], [2.0, 0.2, 0.4, 0.2, 0.4], atol=1e-6)
+
+
+def test_copy_paste():
+    from yolo_continuous_tpu.ops.augment import copy_paste_batch
+    imgs = jnp.stack([jnp.zeros((S, S, 3)), jnp.ones((S, S, 3)) * 200.0])
+    boxes = jnp.zeros((2, 4, 5))
+    boxes = boxes.at[1, 0].set(jnp.asarray([10.0, 10.0, 20.0, 20.0, 1.0]))
+    masks = jnp.zeros((2, 4), bool).at[1, 0].set(True)
+    out, nb, nm = copy_paste_batch(jax.random.PRNGKey(0), imgs, boxes, masks,
+                                   prob=1.0)
+    out = np.asarray(out)
+    # sample-1's box pasted onto sample 0 (roll by 1: src of 0 is 1)...
+    # roll(1) makes src[i] = imgs[i-1], so sample 0's source is sample 1
+    assert out[0, 15, 15, 0] == 200.0       # inside the pasted patch
+    assert out[0, 40, 40, 0] == 0.0         # outside untouched
+    assert nm.shape == (2, 8)
+    assert bool(nm[0, 4])                   # appended label active
+    np.testing.assert_allclose(np.asarray(nb[0, 4, :4]), [10, 10, 20, 20])
+
+
+def test_copy_paste_off_by_default():
+    tiles, metas, boxes, masks = _batch()
+    cfg = AugConfig(size=S)
+    assert cfg.copy_paste == 0.0

@@ -44,6 +44,11 @@ class AugConfig(NamedTuple):
     mosaic_scale_max: float = 1.0
     min_offset_lo: float = 0.3      # mosaic cut position range (:264-265)
     min_offset_hi: float = 0.7
+    # box-level copy-paste from the batch neighbor. The reference DECLARES
+    # copy_paste/paste_in in enhance.yaml but never implements them
+    # (SURVEY §2: image_enhance/random_sample.py is a 0-LoC stub family);
+    # implemented here, off by default like the shipped config.
+    copy_paste: float = 0.0         # per-box paste probability
 
 
 def _uniform(key, lo, hi, shape=()):
@@ -264,6 +269,38 @@ def augment_mosaic(key, tiles, metas, boxes, bmasks, cfg: AugConfig):
     return img, jnp.concatenate(bxs, 0), jnp.concatenate(bms, 0)
 
 
+def copy_paste_batch(key, imgs, boxes, bmasks, prob: float):
+    """Box-level copy-paste from the batch neighbor (capability the
+    reference declares in enhance.yaml but leaves unimplemented).
+
+    For each valid box of sample i-1, with probability ``prob`` its
+    rectangular patch is pasted onto sample i at the same position and
+    its label appended. Rectangle masks keep everything static-shape.
+    """
+    B, S = imgs.shape[0], imgs.shape[1]
+    src_imgs = jnp.roll(imgs, 1, axis=0)
+    src_bx = jnp.roll(boxes, 1, axis=0)
+    src_bm = jnp.roll(bmasks, 1, axis=0)
+    take = jax.random.bernoulli(key, prob, src_bm.shape) & src_bm  # (B, MB)
+
+    yy = jnp.arange(S, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(S, dtype=jnp.float32)[None, :]
+
+    def paste_one(img, src, bx, sel):
+        # union mask of all selected source boxes
+        inside = ((xx[None] >= bx[:, None, None, 0])
+                  & (xx[None] < bx[:, None, None, 2])
+                  & (yy[None] >= bx[:, None, None, 1])
+                  & (yy[None] < bx[:, None, None, 3]))      # (MB, S, S)
+        m = jnp.any(inside & sel[:, None, None], axis=0)
+        return jnp.where(m[..., None], src, img)
+
+    imgs = jax.vmap(paste_one)(imgs, src_imgs, src_bx, take)
+    boxes = jnp.concatenate([boxes, src_bx], axis=1)
+    bmasks = jnp.concatenate([bmasks, take], axis=1)
+    return imgs, boxes, bmasks
+
+
 def _cap_boxes(boxes, mask, cap: int):
     """Keep the first `cap` valid boxes (static capacity)."""
     order = jnp.argsort(~mask)  # valid first, stable
@@ -351,6 +388,10 @@ def augment_batch(
     imgs = jnp.where(do, imgs * 0.5 + r_imgs * 0.5, imgs)
     bx = jnp.concatenate([bx, r_bx], axis=1)
     bm = jnp.concatenate([bm, r_bm & mixup_flag[:, None]], axis=1)
+
+    if cfg.copy_paste > 0.0:
+        cp_key = jax.random.fold_in(key, 0x5e1f)
+        imgs, bx, bm = copy_paste_batch(cp_key, imgs, bx, bm, cfg.copy_paste)
 
     bx, bm = jax.vmap(lambda b, m: _cap_boxes(b, m, max_gt))(bx, bm)
     labels = boxes_to_labels(bx, bm, cfg.size)
