@@ -119,5 +119,6 @@ def test_seed_determinism(tiny_dataset, tmp_path):
         plan.resume = False
         logs = []
         Trainer(plan, dtype=jnp.float32).run(log=logs.append)
-        losses.append([l for l in logs if "loss" in l][0])
+        line = [l for l in logs if "loss" in l][0]
+        losses.append(line.split("loss ")[1].split(" ")[0])  # numeric value
     assert losses[0] == losses[1]

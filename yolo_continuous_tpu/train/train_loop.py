@@ -193,43 +193,47 @@ class Trainer:
         best_loss = math.inf
         history = []
 
+        host_step = int(state["step"])
         for epoch in range(plan.epochs):
             train_ds.epoch_now = epoch
             t0 = time.time()
-            loss_sum, nsteps = 0.0, 0
+            losses, nsteps = [], 0
             loader = PrefetchLoader(
                 lambda: train_ds.epoch_batches(plan.batch_size, plan.shuffle,
                                                plan.drop_last))
             for batch in loader:
-                step = int(state["step"])
-                hyper = sched(step)
+                hyper = sched(host_step)
                 rng, aug_rng = jax.random.split(rng)
                 images, labels, lmask = self.augment(aug_rng, batch, True)
                 state, metrics = step_fn(state, images, labels, lmask,
                                          hyper.lr_weights, hyper.lr_bias,
                                          hyper.momentum)
-                loss_sum += float(metrics["loss"])
+                # keep the loss on device; one host sync per epoch (each
+                # transfer costs a full RTT through the TPU tunnel)
+                losses.append(metrics["loss"])
+                host_step += 1
                 nsteps += 1
-            mean_loss = loss_sum / max(nsteps, 1)
+            mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
             history.append(mean_loss)
             ips = nsteps * plan.batch_size / max(time.time() - t0, 1e-9)
             log(f"epoch {epoch + 1}/{plan.epochs} loss {mean_loss:.4f} "
-                f"lr {sched(int(state['step'])).lr_weights:.6f} {ips:.1f} img/s")
+                f"lr {sched(host_step).lr_weights:.6f} {ips:.1f} img/s")
 
             save_checkpoint(last_path, state)  # crash-safe step-level resume
 
             # best-train-loss gate -> val pass + save (train.py:103-120)
             if mean_loss <= min(history):
-                val_sum, vn = 0.0, 0
+                val_losses = []
                 for batch in val_ds.epoch_batches(plan.batch_size, False, False):
                     images, labels, lmask = self.augment(rng, batch, False)
-                    val_sum += float(eval_fn(state["params"],
-                                             state["batch_stats"],
-                                             images, labels, lmask))
-                    vn += 1
+                    val_losses.append(eval_fn(state["params"],
+                                              state["batch_stats"],
+                                              images, labels, lmask))
+                val_mean = float(jnp.mean(jnp.stack(val_losses))) \
+                    if val_losses else 0.0
                 save_checkpoint(plan.save_path, state)
                 log(f"epoch {epoch + 1} new best {mean_loss:.4f} "
-                    f"(val {val_sum / max(vn, 1):.4f}) -> {plan.save_path}")
+                    f"(val {val_mean:.4f}) -> {plan.save_path}")
         return state
 
 
