@@ -125,3 +125,33 @@ def test_yolov7_forward_parity(torch_ref):
         na = o.shape[3]
         t5 = t.numpy().reshape(bs, na, no_na // na, h, w).transpose(0, 3, 4, 1, 2)
         np.testing.assert_allclose(np.asarray(o), t5, atol=5e-3, rtol=2e-3)
+
+
+def test_export_roundtrip(torch_ref):
+    """export_state_dict o convert_state_dict == identity, and the export
+    loads into the torch reference Model without missing keys."""
+    torch, Model, WeightInitial = torch_ref
+    from yolo_continuous_tpu.nn.builder import YoloModel, build_model_spec
+    from yolo_continuous_tpu.tools.torch_import import (convert_state_dict,
+                                                        export_state_dict)
+    nc = 2
+    with open("cfg/net/yolov7-tiny.yaml") as f:
+        cfg = yaml.safe_load(f)
+    spec = build_model_spec(cfg, 3, ANCHORS, nc)
+    model = YoloModel(spec=spec)
+    v = model.init(jax.random.PRNGKey(5), jnp.zeros((1, 64, 64, 3)), False)
+
+    sd = export_state_dict(spec, v["params"], v["batch_stats"])
+    tm = Model(yaml.safe_load(open(os.path.join(REF, "cfg/net/yolov7-tiny.yaml"))),
+               ANCHORS, nc, weight_initial=WeightInitial.NA)
+    missing, unexpected = tm.load_state_dict(
+        {k: torch.from_numpy(np.array(x)) for k, x in sd.items()}, strict=False)
+    assert not unexpected, unexpected[:5]
+    assert all(m.endswith("num_batches_tracked") for m in missing), missing[:5]
+
+    p2, b2 = convert_state_dict(sd, spec, v["params"], v["batch_stats"],
+                                strict=True)
+    for a, b in zip(jax.tree.leaves(v["params"]), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(v["batch_stats"]), jax.tree.leaves(b2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -188,3 +188,32 @@ def load_torch_checkpoint(path: str, spec: ModelSpec, params, batch_stats,
     sd = torch.load(path, map_location="cpu")
     sd = {k: v.numpy() for k, v in sd.items()}
     return convert_state_dict(sd, spec, params, batch_stats, strict)
+
+
+def _invert_value(leaf: str, ours: np.ndarray) -> np.ndarray:
+    t = np.asarray(ours)
+    if leaf == "kernel":
+        if t.ndim == 4:       # (kh, kw, cin/g, cout) -> (cout, cin/g, kh, kw)
+            t = t.transpose(3, 2, 0, 1)
+        elif t.ndim == 2:
+            t = t.transpose(1, 0)
+    if leaf == "implicit" and t.ndim == 4:  # (1,1,1,c) -> (1,c,1,1)
+        t = t.transpose(0, 3, 1, 2)
+    return t
+
+
+def export_state_dict(spec: ModelSpec, params, batch_stats) -> Dict[str, np.ndarray]:
+    """Inverse of convert_state_dict: our trees -> a torch-layout state_dict
+    loadable by the reference ``Model.load_state_dict`` (detect.py:175)."""
+    out: Dict[str, np.ndarray] = {}
+
+    def emit(tree):
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        for path, val in flat:
+            toks = [p.key for p in path]
+            key = _candidates(toks[:-1], toks[-1], spec)[0]  # canonical name
+            out[key] = _invert_value(toks[-1], np.asarray(val))
+
+    emit(params)
+    emit(batch_stats)
+    return out
