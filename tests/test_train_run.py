@@ -122,3 +122,19 @@ def test_seed_determinism(tiny_dataset, tmp_path):
         line = [l for l in logs if "loss" in l][0]
         losses.append(line.split("loss ")[1].split(" ")[0])  # numeric value
     assert losses[0] == losses[1]
+
+
+def test_cache_images(tiny_dataset):
+    anns = load_annotation_file(tiny_dataset)
+    ds = YoloDataset(anns, image_size=64, max_boxes=8, train=False, seed=1,
+                     cache_images=True)
+    b1 = ds.batch([0, 1, 2])
+    assert len(ds._cache) >= 3
+    b2 = ds.batch([0, 1, 2])  # fully served from cache
+    np.testing.assert_array_equal(b1[0], b2[0])
+    np.testing.assert_array_equal(b1[1], b2[1])
+    # cached and uncached paths agree
+    ds2 = YoloDataset(anns, image_size=64, max_boxes=8, train=False, seed=1,
+                      cache_images=False)
+    b3 = ds2.batch([0, 1, 2])
+    np.testing.assert_array_equal(b1[0], b3[0])

@@ -134,6 +134,7 @@ class TrainPlan:
         self.mixup_prob = cfg.get("mixup_prob", 0.5)
         self.special_aug_ratio = cfg.get("special_aug_ratio", 0.7)
         self.seed = cfg.get("seed", 0)
+        self.cache_images = cfg.get("cache_images", False)
 
         # save / resume
         self.resume = cfg["resume"]

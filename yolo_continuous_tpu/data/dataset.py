@@ -87,6 +87,7 @@ class YoloDataset:
         train: bool = True,
         seed: int = 0,
         use_native: bool = None,
+        cache_images: bool = False,
     ):
         self.annotations = list(annotations)
         self.size = image_size
@@ -105,12 +106,25 @@ class YoloDataset:
             from . import native_loader
             use_native = native_loader.available()
         self.use_native = use_native
+        # optional in-RAM cache of staged canvases (decode+resize once);
+        # ~S*S*3 bytes per image — only for datasets that fit in memory
+        self.cache_images = cache_images
 
     def __len__(self):
         return len(self.annotations)
 
     # -- single staged sample ---------------------------------------------
     def _staged(self, idx: int):
+        if self.cache_images and idx in self._cache:
+            canvas, meta_v = self._cache[idx]
+            ann = self.annotations[idx]
+            boxes = np.zeros((self.max_boxes, 5), np.float32)
+            mask = np.zeros((self.max_boxes,), bool)
+            n = min(len(ann.boxes), self.max_boxes)
+            if n:
+                boxes[:n] = ann.boxes[:n]
+                mask[:n] = True
+            return canvas, meta_v, boxes, mask
         ann = self.annotations[idx]
         img = _read_rgb(ann.path)
         canvas, meta = stage_image(img, self.size)
@@ -122,6 +136,8 @@ class YoloDataset:
             mask[:n] = True
         meta_v = np.array([meta.iw, meta.ih, meta.scale, meta.ox, meta.oy],
                           np.float32)
+        if self.cache_images:
+            self._cache[idx] = (canvas, meta_v)
         return canvas, meta_v, boxes, mask
 
     def sample(self, idx: int):
@@ -189,8 +205,25 @@ class YoloDataset:
         for b, (idxs, _, _) in enumerate(plans):
             for t, j in enumerate(idxs):
                 slots.append((b, t, j))
-        paths = [self.annotations[j].path for _, _, j in slots]
-        flat_tiles, flat_metas, ok = stage_batch_native(paths, S, 128)
+        cached = {j: self._cache[j] for _, _, j in slots
+                  if self.cache_images and j in self._cache}
+        need = [k for k, (_, _, j) in enumerate(slots) if j not in cached]
+        paths = [self.annotations[slots[k][2]].path for k in need]
+        if paths:
+            n_tiles, n_metas, ok_n = stage_batch_native(paths, S, 128)
+        flat_tiles = {}
+        flat_metas = {}
+        ok = {}
+        for pos, k in enumerate(need):
+            flat_tiles[k] = n_tiles[pos]
+            flat_metas[k] = n_metas[pos]
+            ok[k] = bool(ok_n[pos])
+            if self.cache_images and ok[k]:
+                self._cache[slots[k][2]] = (n_tiles[pos], n_metas[pos])
+        for k, (_, _, j) in enumerate(slots):
+            if j in cached:
+                flat_tiles[k], flat_metas[k] = cached[j]
+                ok[k] = True
 
         tiles = np.zeros((B, 4, S, S, 3), np.uint8)
         metas = np.zeros((B, 4, 5), np.float32)

@@ -160,10 +160,11 @@ class Trainer:
             load_annotation_file(plan.train_indexes), plan.image_size,
             plan.max_boxes, plan.mosaic, plan.mixup, plan.mosaic_prob,
             plan.mixup_prob, plan.epochs, plan.special_aug_ratio,
-            train=True, seed=plan.seed)
+            train=True, seed=plan.seed, cache_images=plan.cache_images)
         val_ds = YoloDataset(
             load_annotation_file(plan.val_indexes), plan.image_size,
-            plan.max_boxes, train=False, seed=plan.seed)
+            plan.max_boxes, train=False, seed=plan.seed,
+            cache_images=plan.cache_images)
 
         steps_per_epoch = max(len(train_ds) // plan.batch_size, 1)
         sched = LRSchedule(
