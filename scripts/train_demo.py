@@ -64,7 +64,7 @@ def main():
                max_boxes=32, epochs=epochs, save_dir=tmpdir,
                save_name="demo", resume=False, adam=True, lrI=0.001,
                lrF=0.1, decay="Cosine", warmup=True, warmup_epochs=2,
-               warmup_max_iter=30,
+               warmup_max_iter=30, cache_images=True,
                labels=["red_rect", "blue_ellipse"])
     plan = TrainPlan(cfg)
     tr = Trainer(plan)
