@@ -87,3 +87,32 @@ def test_prepare_voc(tmp_path, capsys):
     first = lines[0].split()
     assert first[0].endswith(".jpg")
     assert all(len(b.split(",")) == 5 for b in first[1:])
+
+
+def test_voc_to_training_integration(tmp_path):
+    """tools.prepare_voc output feeds Trainer.run unchanged (the reference's
+    offline-prep -> train flow, tools/gen_annotation.py -> train.py)."""
+    import cv2
+    import yaml
+    import jax.numpy as jnp
+    from yolo_continuous_tpu.config.plan import TrainPlan
+    from yolo_continuous_tpu.train.train_loop import Trainer
+
+    rs = np.random.RandomState(0)
+    root = _write_voc(tmp_path, n=8)
+    # real JPEGs in place of the placeholders
+    img_dir = root / "VOCX" / "JPEGImages"
+    for p in img_dir.iterdir():
+        cv2.imwrite(str(p), rs.randint(0, 255, (96, 128, 3), np.uint8))
+    prepare_voc(str(root), ["VOCX"], ["cat", "dog"], seed=0)
+
+    cfg = yaml.safe_load(open("cfg/chip_tiny.yaml"))
+    cfg.update(train=str(root / "trainval.txt"), val=str(root / "val.txt"),
+               labels=["cat", "dog"], epochs=1, batch_size=2, image_size=64,
+               max_boxes=8, save_dir=str(tmp_path), save_name="voc_it",
+               resume=False, warmup=False)
+    plan = TrainPlan(cfg)
+    logs = []
+    state = Trainer(plan, dtype=jnp.float32).run(log=logs.append)
+    assert int(state["step"]) >= 1
+    assert any("loss" in l for l in logs)
