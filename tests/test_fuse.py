@@ -63,3 +63,25 @@ def test_fuse_conv_bn_math():
         x, kf, (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC")) + bf
     np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_fused), atol=1e-4)
+
+
+def test_detector_fuse_equivalence():
+    """Detector(fuse=True) matches the train-form detector's raw outputs
+    on yolov7 (which contains RepConvs)."""
+    import yaml
+    from yolo_continuous_tpu.config.plan import TrainPlan
+    from yolo_continuous_tpu.detect_api import Detector
+
+    cfg = jax_yaml = yaml.safe_load(open("cfg/raccoon.yaml"))
+    cfg["image_size"] = 96
+    plan = TrainPlan(cfg)
+    plan.save_path = "/nonexistent/x.msgpack"
+    det = Detector(plan, dtype=jnp.float32)
+    det_f = Detector(plan, dtype=jnp.float32, params=det.params,
+                     batch_stats=det.batch_stats, fuse=True)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 96, 96, 3))
+    a = det(x, conf_thres=0.001, max_det=16)
+    b = det_f(x, conf_thres=0.001, max_det=16)
+    # same boxes/scores within the BN-fold tolerance
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), atol=2e-3)

@@ -72,13 +72,16 @@ class Detector:
     """Loads a plan + checkpoint and serves jitted end-to-end inference."""
 
     def __init__(self, plan: TrainPlan, dtype=None, params=None,
-                 batch_stats=None, use_ema: bool = True):
+                 batch_stats=None, use_ema: bool = True, fuse: bool = False):
+        """fuse=True re-parameterizes RepConv branches into single convs
+        (the reference's deploy-time ``fuse()``, nets/yolo_net.py:274-283)."""
         self.plan = plan
         self.dtype = dtype or (jnp.bfloat16 if jax.default_backend() == "tpu"
                                else jnp.float32)
         model_cfg = cvt_cfg(plan.model_cfg)
         self.spec = build_model_spec(model_cfg, plan.image_chan, plan.anchors,
                                      plan.num_labels, plan.anchors_mask)
+        self.fuse = fuse
         self.model = YoloModel(spec=self.spec, dtype=self.dtype)
         self.nl = len(self.spec.strides)
 
@@ -99,6 +102,12 @@ class Detector:
                 else:
                     params = ckpt["params"]
                     batch_stats = ckpt["batch_stats"]
+        if fuse:
+            from .nn.fuse import deploy_spec, fuse_model_params
+            params, batch_stats = fuse_model_params(self.spec, params,
+                                                    batch_stats or {})
+            self.spec = deploy_spec(self.spec)
+            self.model = YoloModel(spec=self.spec, dtype=self.dtype)
         self.params = params
         self.batch_stats = batch_stats or {}
         self._infer = None
