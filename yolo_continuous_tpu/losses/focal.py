@@ -18,6 +18,17 @@ def bce_with_logits(pred: jnp.ndarray, true: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(pred, 0, None) - pred * true + jnp.log1p(jnp.exp(-jnp.abs(pred)))
 
 
+def _safe_pow(x: jnp.ndarray, gamma: float) -> jnp.ndarray:
+    """x**gamma with a zero (not NaN) gradient at x == 0.
+
+    For fractional gamma, jax grads of ``x ** gamma`` at x = 0 produce
+    NaN (0 * inf from the exp/log expansion); the double-where keeps the
+    value and gives the correct 0 subgradient for gamma > 1.
+    """
+    safe = jnp.where(x > 0, x, 1.0)
+    return jnp.where(x > 0, safe ** gamma, 0.0)
+
+
 def focal_loss(pred: jnp.ndarray, true: jnp.ndarray, gamma: float = 1.5,
                alpha: float = 0.25) -> jnp.ndarray:
     """Elementwise focal loss; focal_loss.py:18-22."""
@@ -25,7 +36,7 @@ def focal_loss(pred: jnp.ndarray, true: jnp.ndarray, gamma: float = 1.5,
     pred_prob = _sigmoid(pred)
     p_t = true * pred_prob + (1 - true) * (1 - pred_prob)
     alpha_factor = true * alpha + (1 - true) * (1 - alpha)
-    modulating = (1.0 - p_t) ** gamma
+    modulating = _safe_pow(1.0 - p_t, gamma)
     return loss * alpha_factor * modulating
 
 
@@ -35,7 +46,7 @@ def qfocal_loss(pred: jnp.ndarray, true: jnp.ndarray, gamma: float = 1.5,
     loss = bce_with_logits(pred, true)
     pred_prob = _sigmoid(pred)
     alpha_factor = true * alpha + (1 - true) * (1 - alpha)
-    modulating = jnp.abs(true - pred_prob) ** gamma
+    modulating = _safe_pow(jnp.abs(true - pred_prob), gamma)
     return loss * alpha_factor * modulating
 
 
