@@ -51,4 +51,7 @@ def qfocal_loss(pred: jnp.ndarray, true: jnp.ndarray, gamma: float = 1.5,
 
 
 def _sigmoid(x):
-    return 1.0 / (1.0 + jnp.exp(-x))
+    # jax.nn.sigmoid: grad-safe at extreme logits (1/(1+exp(-x)) yields
+    # inf/inf = NaN gradients once exp overflows)
+    import jax
+    return jax.nn.sigmoid(x)

@@ -81,7 +81,7 @@ class LossConfig:
 
 
 def _sigmoid(x):
-    return 1.0 / (1.0 + jnp.exp(-x))
+    return jax.nn.sigmoid(x)  # grad-safe at extreme logits
 
 
 # ---------------------------------------------------------------------------
