@@ -52,8 +52,9 @@ def smooth_bce(eps: float = 0.1) -> Tuple[float, float]:
 
 
 def _balance_for_stride(stride: int) -> float:
-    """Per-level obj balance; losses/yolo_loss.py:36 ([0.4,1,4] for [32,16,8])."""
-    return {32: 0.4, 16: 1.0, 8: 4.0}.get(int(stride), 1.0)
+    """Per-level obj balance; losses/yolo_loss.py:36 ([0.4,1,4] for [32,16,8]).
+    Stride 64 (P6 models) uses 0.1 per upstream YOLOv7 convention."""
+    return {64: 0.1, 32: 0.4, 16: 1.0, 8: 4.0}.get(int(stride), 1.0)
 
 
 @dataclass(frozen=True)
