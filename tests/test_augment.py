@@ -125,3 +125,88 @@ def test_copy_paste_off_by_default():
     tiles, metas, boxes, masks = _batch()
     cfg = AugConfig(size=S)
     assert cfg.copy_paste == 0.0
+
+
+# ---------------------------------------------------------------------------
+# enhance.yaml plumbing (VERDICT item 4): cfg changes alter the device
+# augmentation output; perspective is reachable from training.
+# ---------------------------------------------------------------------------
+
+def test_aug_config_from_plan_consumes_enhance_yaml():
+    import yaml
+    from yolo_continuous_tpu.config.plan import TrainPlan
+    from yolo_continuous_tpu.ops.augment import aug_config_from_plan
+    cfg = yaml.safe_load(open("cfg/voc_train.yaml"))
+    cfg.update(train="x", val="x")
+    plan = TrainPlan(cfg)
+    ac = aug_config_from_plan(plan)
+    ed = plan.enhance_dict
+    assert ed, "enhance yaml must load"
+    # enhance.yaml values flow through (NOT the dataset hard-codes)
+    assert ac.hue == ed["hsv_h"] and ac.sat == ed["hsv_s"]
+    assert ac.flip_ud == ed["flip_ud"]
+    assert ac.use_perspective is True            # voc plan opts in
+    assert ac.degrees == ed["degrees"]
+    # plan-level mosaic/mixup keys win over enhance.yaml
+    assert plan.mosaic_prob == 0.5 and plan.mixup_prob == 0.5
+    # without plan keys, enhance.yaml's probabilities apply
+    cfg2 = dict(cfg)
+    cfg2.pop("mosaic_prob"), cfg2.pop("mixup_prob")
+    plan2 = TrainPlan(cfg2)
+    assert plan2.mosaic_prob == ed["mosaic"]
+    assert plan2.mixup_prob == ed["mix-up"]
+
+
+def test_enhance_cfg_changes_augment_output():
+    """Same key, same batch: an hsv_s change and a flip_ud change each
+    produce different augmented pixels (proves the cfg is live)."""
+    tiles, metas, boxes, masks = _batch()
+    args = (jnp.asarray(tiles), jnp.asarray(metas), jnp.asarray(boxes),
+            jnp.asarray(masks), jnp.zeros(2, bool), jnp.zeros(2, bool))
+    base = AugConfig(size=S, sat=0.0, hue=0.0, val=0.0, flip_lr=0.0)
+    img0, lab0, m0 = augment_batch(jax.random.PRNGKey(3), *args,
+                                   cfg=base, max_gt=MB, train=True)
+    img1, _, _ = augment_batch(jax.random.PRNGKey(3), *args,
+                               cfg=base._replace(sat=0.9), max_gt=MB,
+                               train=True)
+    assert np.abs(np.asarray(img0) - np.asarray(img1)).max() > 1e-3
+
+    imgf, labf, mf = augment_batch(jax.random.PRNGKey(3), *args,
+                                   cfg=base._replace(flip_ud=1.0),
+                                   max_gt=MB, train=True)
+    # UD flip mirrors rows; with certain flip the image differs
+    np.testing.assert_allclose(np.asarray(imgf), np.asarray(img0)[:, ::-1],
+                               atol=1e-5)
+
+
+def test_perspective_reachable_from_training():
+    """use_perspective compiles and runs inside the jitted batch graph."""
+    tiles, metas, boxes, masks = _batch()
+    args = (jnp.asarray(tiles), jnp.asarray(metas), jnp.asarray(boxes),
+            jnp.asarray(masks), jnp.zeros(2, bool), jnp.zeros(2, bool))
+    cfg = AugConfig(size=S, use_perspective=True, degrees=20.0,
+                    translate=0.1, pscale=0.1, shear=5.0)
+    img, lab, m = augment_batch(jax.random.PRNGKey(5), *args, cfg=cfg,
+                                max_gt=MB, train=True)
+    assert img.shape == (2, S, S, 3)
+    assert np.isfinite(np.asarray(img)).all()
+    assert np.isfinite(np.asarray(lab)).all()
+    # perspective changes pixels vs the non-perspective graph
+    # (images are normalized 0..1 at this point)
+    img0, _, _ = augment_batch(jax.random.PRNGKey(5), *args,
+                               cfg=cfg._replace(use_perspective=False),
+                               max_gt=MB, train=True)
+    assert np.abs(np.asarray(img) - np.asarray(img0)).max() > 0.01
+
+
+def test_equalize_gated_in_batch_graph():
+    tiles, metas, boxes, masks = _batch()
+    args = (jnp.asarray(tiles), jnp.asarray(metas), jnp.asarray(boxes),
+            jnp.asarray(masks), jnp.zeros(2, bool), jnp.zeros(2, bool))
+    base = AugConfig(size=S, hue=0.0, sat=0.0, val=0.0, flip_lr=0.0)
+    img0, _, _ = augment_batch(jax.random.PRNGKey(7), *args, cfg=base,
+                               max_gt=MB, train=True)
+    img1, _, _ = augment_batch(jax.random.PRNGKey(7), *args,
+                               cfg=base._replace(equalize=1.0),
+                               max_gt=MB, train=True)
+    assert np.abs(np.asarray(img0) - np.asarray(img1)).max() > 0.01

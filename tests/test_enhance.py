@@ -89,6 +89,24 @@ def test_equalize_spreads_histogram():
     assert out.std() > np.asarray(img).std() * 2
 
 
+def test_equalize_bit_exact_vs_pil():
+    """Golden: equalize == PIL ImageOps.equalize (the algorithm torchvision's
+    RandomEqualize implements; main/enhance_package.py:30)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    from PIL import ImageOps
+    rs = np.random.RandomState(7)
+    cases = [
+        rs.randint(0, 256, (37, 53, 3)).astype(np.uint8),
+        (rs.rand(64, 48, 3) ** 3 * 255).astype(np.uint8),   # skewed histogram
+        np.full((16, 16, 3), 77, np.uint8),                 # degenerate: identity
+        np.clip(rs.normal(128, 20, (40, 40, 3)), 0, 255).astype(np.uint8),
+    ]
+    for arr in cases:
+        golden = np.asarray(ImageOps.equalize(PIL_Image.fromarray(arr)))
+        ours = np.asarray(equalize(arr.astype(np.float32))).astype(np.uint8)
+        np.testing.assert_array_equal(ours, golden)
+
+
 def test_enhance_package_pipeline():
     cfg = {"scale_fill": 0.0, "equalize": 0.0, "hsv_h": 0.015, "hsv_s": 0.7,
            "hsv_v": 0.4, "degrees": 10, "translate": 0.1, "scale": 0.1,

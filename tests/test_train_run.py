@@ -109,6 +109,22 @@ def test_validate_pipeline(tiny_dataset, tmp_path):
     assert 0.0 <= out["mAP@0.5"] <= 1.0
 
 
+def test_val_map_every_gates_best_map_checkpoint(tiny_dataset, tmp_path):
+    """val_map_every: N runs mAP validation on the EMA weights and keeps a
+    best-mAP checkpoint (VERDICT item 5)."""
+    plan = _plan(tiny_dataset, tmp_path)
+    plan.epochs = 1
+    plan.resume = False
+    plan.val_map_every = 1
+    plan.save_name = "tmap"
+    plan.save_path = os.path.join(str(tmp_path), "tmap.msgpack")
+    logs = []
+    Trainer(plan, dtype=jnp.float32).run(log=logs.append)
+    map_lines = [l for l in logs if "mAP@0.5:0.95" in l]
+    assert map_lines, logs
+    assert os.path.exists(plan.save_path + ".bestmap")
+
+
 def test_seed_determinism(tiny_dataset, tmp_path):
     """Same seed => identical first-epoch loss (SURVEY §5: deterministic
     PRNG plumbing makes loader race classes structurally impossible)."""

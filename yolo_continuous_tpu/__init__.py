@@ -9,8 +9,9 @@ detector (xin-pu/yolo-continuous) with a TPU-first design:
 - a batched on-device augmentation graph (mosaic/mixup/HSV/flip/jitter),
 - on-device fixed-capacity NMS (no host round-trip),
 - pjit/Mesh data+tensor parallelism via jax.sharding,
-- optax optimizer with the reference's 3-param-group policy, EMA,
-  warm-up + decay schedules, orbax checkpointing, and a mAP evaluator.
+- a torch-semantics-exact optimizer (SGD-Nesterov/Adam) with the
+  reference's 3-param-group policy, EMA, warm-up + decay schedules,
+  atomic msgpack checkpointing with exact resume, and a mAP evaluator.
 
 Reference parity citations use ``file:line`` into the upstream repo.
 """

@@ -95,6 +95,14 @@ class TrainPlan:
 
         self.enhance = cfg["enhance"]
         self.enhance_cfg = _resolve_sibling(self._path, cfg["enhance_cfg"])
+        # The enhance YAML is loaded and CONSUMED by the train path
+        # (ops/augment.aug_config_from_plan) — fixing the reference wart of
+        # reading the path then ignoring it (main/data_loader.py:10-23).
+        self.enhance_dict = {}
+        if self.enhance and isinstance(self.enhance_cfg, dict):
+            self.enhance_dict = self.enhance_cfg
+        elif self.enhance and self.enhance_cfg and os.path.exists(str(self.enhance_cfg)):
+            self.enhance_dict = cvt_cfg(self.enhance_cfg) or {}
 
         # model
         self.model_cfg = _resolve_sibling(self._path, cfg["model_cfg"])
@@ -116,11 +124,13 @@ class TrainPlan:
         self.focal_gamma = cfg["focal_gamma"]
         self.focal_alpha = cfg["focal_alpha"]
 
-        # loss gains (read by the loss; cfg/voc_train.yaml:27-34)
+        # loss knobs. iou_loss_ratio is the reference's ``gr`` blend of the
+        # obj target: tobj = (1-gr) + gr*iou (losses/yolo_loss.py:45,106 —
+        # hard-coded 1 there; consumed for real here). The YAML's box/cls/obj
+        # gain keys (cfg/voc_train.yaml:28-31) are NOT lifted to attributes:
+        # the reference ignores them too (losses/yolo_loss.py:39-41 hard-codes
+        # the ratios) and loss parity requires the same formulas.
         self.iou_loss_ratio = cfg.get("iou_loss_ratio", 1.0)
-        self.box_gain = cfg.get("box", 0.05)
-        self.cls_gain = cfg.get("cls", 0.3)
-        self.obj_gain = cfg.get("obj", 0.7)
         self.anchor_t = cfg.get("anchor_t", 4.0)
 
         # TPU-specific extensions (absent from reference YAMLs -> defaults)
@@ -128,13 +138,23 @@ class TrainPlan:
         self.ema = cfg.get("ema", True)              # ModelEMA wired in (fixes unused main/model_ema.py)
         self.ema_decay = cfg.get("ema_decay", 0.9999)
         self.ema_tau = cfg.get("ema_tau", 2000)
-        self.mosaic = cfg.get("mosaic", True)
-        self.mixup = cfg.get("mixup", True)
-        self.mosaic_prob = cfg.get("mosaic_prob", 0.5)
-        self.mixup_prob = cfg.get("mixup_prob", 0.5)
+        # mosaic/mixup probabilities: explicit plan keys win; otherwise the
+        # enhance YAML's values apply (the reference hard-codes prob 0.5 and
+        # ignores enhance.yaml, main/data_loader.py:14-23 — config-driven
+        # here); final fallback matches the reference's hard-coded 0.5.
+        ed = self.enhance_dict
+        self.mosaic_prob = cfg.get("mosaic_prob", ed.get("mosaic", 0.5))
+        self.mixup_prob = cfg.get("mixup_prob", ed.get("mix-up", 0.5))
+        self.mosaic = cfg.get("mosaic", self.mosaic_prob > 0)
+        self.mixup = cfg.get("mixup", self.mixup_prob > 0)
+        self.use_perspective = cfg.get("use_perspective", False)
         self.special_aug_ratio = cfg.get("special_aug_ratio", 0.7)
         self.seed = cfg.get("seed", 0)
         self.cache_images = cfg.get("cache_images", False)
+        # mAP-gated validation: every N epochs run the mAP evaluator on the
+        # EMA weights and keep a best-mAP checkpoint (the reference gates on
+        # train loss only, train.py:103-116; mAP is a new capability). 0=off.
+        self.val_map_every = cfg.get("val_map_every", 0)
 
         # save / resume
         self.resume = cfg["resume"]

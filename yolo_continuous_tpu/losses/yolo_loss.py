@@ -68,6 +68,7 @@ class LossConfig:
     fl_gamma: float = 1.5
     fl_alpha: float = 0.25
     box_ratio: float = 0.05                        # yolo_loss.py:39
+    iou_ratio: float = 1.0                         # gr blend; yolo_loss.py:45,106
     threshold: float = 4.0                         # yolo_loss.py:42
     topk: int = 20                                 # yolo_loss.py:219
     aux_weight: float = 0.25                       # aux-head loss weight (YOLOv7 paper)
@@ -288,11 +289,13 @@ def yolo_loss(
             iou = bbox_iou(pbox, tbox_f, x1y1x2y2=False, ciou=True)  # :101
             box_total.append((_masked_mean(1.0 - iou, self_f, count), count))
 
-            # obj targets: deterministic scatter-max of detached IoU; :105-106
+            # obj targets: deterministic scatter-max of the gr-blended
+            # detached IoU, tobj = (1-gr) + gr*iou; :105-106
             iou_d = jax.lax.stop_gradient(jnp.clip(iou, 0.0, None))
+            tval = (1.0 - cfg.iou_ratio) + cfg.iou_ratio * iou_d
             bidx = jnp.broadcast_to(jnp.arange(bs)[:, None], sel.shape)
             flat_idx = ((bidx * h + c["gj"]) * w + c["gi"]) * na + c["a"]
-            vals = jnp.where(sel, iou_d, -1.0)
+            vals = jnp.where(sel, tval, -1.0)
             tobj = jnp.zeros((bs * h * w * na,), jnp.float32)
             tobj = tobj.at[flat_idx.reshape(-1)].max(vals.reshape(-1))
             tobj = jnp.clip(tobj, 0.0, None).reshape(bs, h, w, na)

@@ -35,9 +35,9 @@ GRAY = 128.0  # train-pipeline fill (yolo_dataset_git.py:129,167,327)
 class AugConfig(NamedTuple):
     size: int = 640
     jitter: float = 0.3        # yolo_dataset_git.py:101
-    hue: float = 0.1           # yolo_dataset_git.py:101 (dataset defaults,
-    sat: float = 0.7           #  NOT the enhance.yaml values)
-    val: float = 0.4
+    hue: float = 0.1           # yolo_dataset_git.py:101 (dataset defaults;
+    sat: float = 0.7           #  overridden by enhance.yaml when the plan
+    val: float = 0.4           #  plumbs it — see aug_config_from_plan)
     scale_min: float = 0.25    # single-image scale range (:153)
     scale_max: float = 2.0
     mosaic_scale_min: float = 0.4   # mosaic tile scale range (:302)
@@ -49,6 +49,50 @@ class AugConfig(NamedTuple):
     # (SURVEY §2: image_enhance/random_sample.py is a 0-LoC stub family);
     # implemented here, off by default like the shipped config.
     copy_paste: float = 0.0         # per-box paste probability
+    # enhance.yaml-driven knobs (main/enhance_package.py:12-53). flip_lr is
+    # the reference dataset's hard-coded 0.5 LR flip; flip_ud/equalize are
+    # EnhancePackage capabilities plumbed into the device train path;
+    # perspective is the op the reference builds but never inserts
+    # (enhance_package.py:32-35) — opt-in here via use_perspective.
+    flip_lr: float = 0.5            # yolo_dataset_git.py:160-162
+    flip_ud: float = 0.0            # enhance.yaml flip_ud (off in train path
+    equalize: float = 0.0           #  unless plumbed); random_flip.py:24-36
+    use_perspective: bool = False
+    degrees: float = 10.0           # random_perspective.py:40-66 ranges
+    translate: float = 0.1
+    pscale: float = 0.1
+    shear: float = 10.0
+    perspective: float = 0.0
+
+
+def aug_config_from_plan(plan) -> "AugConfig":
+    """Build the device AugConfig from a TrainPlan, consuming the plan's
+    enhance YAML (``plan.enhance_cfg``) when ``plan.enhance`` is set.
+
+    This fixes the reference wart where ``main/data_loader.py:14-23``
+    hard-codes dataset parameters and ignores ``plan.enhance_cfg``
+    entirely: HSV gains, flip probabilities, equalize probability and the
+    perspective magnitudes here all come from the config.
+    """
+    c = dict(getattr(plan, "enhance_dict", None) or {})
+    if not getattr(plan, "enhance", True):
+        c = {}
+    base = AugConfig(size=plan.image_size)
+    return base._replace(
+        hue=c.get("hsv_h", base.hue),
+        sat=c.get("hsv_s", base.sat),
+        val=c.get("hsv_v", base.val),
+        flip_lr=c.get("flip_lr", base.flip_lr),
+        flip_ud=c.get("flip_ud", 0.0),
+        equalize=c.get("equalize", 0.0),
+        copy_paste=c.get("copy_paste", 0.0),
+        use_perspective=bool(getattr(plan, "use_perspective", False)),
+        degrees=c.get("degrees", base.degrees),
+        translate=c.get("translate", base.translate),
+        pscale=c.get("scale", base.pscale),
+        shear=c.get("shear", base.shear),
+        perspective=c.get("perspective", base.perspective),
+    )
 
 
 def _uniform(key, lo, hi, shape=()):
@@ -184,7 +228,7 @@ def augment_single(key, img, meta, boxes, bmask, cfg: AugConfig):
     kdx, kdy = jax.random.split(kp)
     dx = _uniform(kdx, 0.0, 1.0) * (s - nw)   # rand(0, w-nw); negative ok (:165)
     dy = _uniform(kdy, 0.0, 1.0) * (s - nh)
-    flip = jax.random.bernoulli(kf, 0.5)
+    flip = jax.random.bernoulli(kf, cfg.flip_lr)
 
     out = _place_tile(img, meta, nw, nh, dx, dy, cfg)
     out = jnp.where(flip, out[:, ::-1, :], out)
@@ -237,7 +281,7 @@ def augment_mosaic(key, tiles, metas, boxes, bmasks, cfg: AugConfig):
     for q in range(4):
         kq = tkeys[q] if q < len(tkeys) else jax.random.fold_in(key, q)
         kg, kf = jax.random.split(kq)
-        flip = jax.random.bernoulli(kf, 0.5)
+        flip = jax.random.bernoulli(kf, cfg.flip_lr)
         nw, nh = _jitter_geometry(kg, metas[q], cfg,
                                   cfg.mosaic_scale_min, cfg.mosaic_scale_max)
         # quadrant placement (:314-325)
@@ -301,6 +345,25 @@ def copy_paste_batch(key, imgs, boxes, bmasks, prob: float):
     return imgs, boxes, bmasks
 
 
+def _post_enhance(key, img, bx, bm, cfg: AugConfig):
+    """Opt-in enhance.yaml ops on a composed train sample (px xyxy boxes):
+    perspective (the op the reference builds but never inserts,
+    main/enhance_package.py:32-35), UD flip, equalize. Static-gated so the
+    default config compiles to nothing extra."""
+    # lazy import: ops.enhance imports color helpers from this module
+    from .enhance import random_equalize, random_flip, random_perspective
+    kp, kf, ke = jax.random.split(key, 3)
+    if cfg.use_perspective:
+        img, bx, bm = random_perspective(
+            kp, img, bx, bm, cfg.degrees, cfg.translate, cfg.pscale,
+            cfg.shear, cfg.perspective)
+    if cfg.flip_ud > 0.0:
+        img, bx, bm = random_flip(kf, img, bx, bm, 0.0, cfg.flip_ud)
+    if cfg.equalize > 0.0:
+        img, bx, bm = random_equalize(ke, img, bx, bm, cfg.equalize)
+    return img, bx, bm
+
+
 def _cap_boxes(boxes, mask, cap: int):
     """Keep the first `cap` valid boxes (static capacity)."""
     order = jnp.argsort(~mask)  # valid first, stable
@@ -362,13 +425,13 @@ def augment_batch(
     keys = jax.random.split(key, B)
 
     def one(k, tile4, meta4, box4, bm4, use_mosaic):
-        k1, k2 = jax.random.split(k)
+        k1, k2, kx = jax.random.split(k, 3)
         s_img, s_bx, s_bm = augment_single(k2, tile4[0], meta4[0], box4[0],
                                            bm4[0], cfg)
         if T == 1:
             # single-tile batches (mosaic disabled at the loader): skip the
             # mosaic branch entirely — 4x less host->device traffic
-            return s_img, s_bx, s_bm
+            return _post_enhance(kx, s_img, s_bx, s_bm, cfg)
         m_img, m_bx, m_bm = augment_mosaic(k1, tile4, meta4, box4, bm4, cfg)
         pad = m_bx.shape[0] - s_bx.shape[0]
         s_bx = jnp.pad(s_bx, ((0, pad), (0, 0)))
@@ -376,7 +439,7 @@ def augment_batch(
         img = jnp.where(use_mosaic, m_img, s_img)
         bx = jnp.where(use_mosaic, m_bx, s_bx)
         bm = jnp.where(use_mosaic, m_bm, s_bm)
-        return img, bx, bm
+        return _post_enhance(kx, img, bx, bm, cfg)
 
     imgs, bx, bm = jax.vmap(one)(keys, tiles_f, metas, boxes, bmasks, mosaic_flag)
 

@@ -81,22 +81,24 @@ def random_hsv(key, img, boxes, mask, hgain=0.015, sgain=0.7, vgain=0.4):
 
 
 def equalize(img):
-    """Per-channel histogram equalization (torchvision RandomEqualize core).
-
-    Differentiable-free integer histogram math on 0..255 floats.
+    """Per-channel histogram equalization, bit-exact to the PIL algorithm
+    that torchvision's ``RandomEqualize`` implements (the op used by
+    ``main/enhance_package.py:30``): per channel,
+    ``step = (total - last_nonzero_count) // 255`` and
+    ``lut[i] = (step//2 + sum_{j<i} hist[j]) // step`` (identity when
+    step == 0), all in integer math.
     """
     def eq_chan(c):
         q = jnp.clip(jnp.round(c), 0, 255).astype(jnp.int32)
-        hist = jnp.zeros((256,), jnp.float32).at[q.reshape(-1)].add(1.0)
-        # torchvision: step = (sum - last_nonzero... use the PIL algorithm:
-        # lut = (cumsum(hist) - hist/2) / nonzero_total * 255 variant; we use
-        # the classic cdf normalization which matches PIL.autocontrast-free eq
-        cdf = jnp.cumsum(hist)
-        total = cdf[-1]
-        cdf_min = jnp.min(jnp.where(hist > 0, cdf, total))
-        denom = jnp.maximum(total - cdf_min, 1.0)
-        lut = jnp.clip(jnp.round((cdf - cdf_min) / denom * 255.0), 0, 255)
-        return lut[q].astype(jnp.float32)
+        hist = jnp.zeros((256,), jnp.int32).at[q.reshape(-1)].add(1)
+        nz = hist > 0
+        last_nz = hist[255 - jnp.argmax(nz[::-1])]
+        step = (jnp.sum(hist) - last_nz) // 255
+        cum_before = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(hist)[:-1]])
+        lut = jnp.clip((step // 2 + cum_before) // jnp.maximum(step, 1),
+                       0, 255)
+        return jnp.where(step == 0, q, lut[q]).astype(jnp.float32)
     return jnp.stack([eq_chan(img[..., i]) for i in range(img.shape[-1])], -1)
 
 

@@ -44,7 +44,8 @@ def decay_factor_fn(decay: DecayType, lr_final: float, epochs: int) -> Callable[
     """
     y1, y2 = 1.0, float(lr_final)
     if decay == DecayType.Linear:
-        return lambda x: y2 - (y2 - y1) * (1.0 - x / (epochs - 1))
+        # max(.,1): a 1-epoch plan divides by zero in the reference (:44)
+        return lambda x: y2 - (y2 - y1) * (1.0 - x / max(epochs - 1, 1))
     if decay == DecayType.InverseTime:
         return lambda x: y2 - (y2 - y1) / (1 + 0.1 * x)
     if decay == DecayType.Exponential:

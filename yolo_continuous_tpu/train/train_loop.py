@@ -31,7 +31,7 @@ from ..config.plan import TrainPlan, cvt_cfg
 from ..data.dataset import PrefetchLoader, YoloDataset, load_annotation_file
 from ..losses.yolo_loss import LossConfig, yolo_loss
 from ..nn.builder import YoloModel, build_model_spec
-from ..ops.augment import AugConfig, augment_batch
+from ..ops.augment import AugConfig, aug_config_from_plan, augment_batch
 from ..ops.schedules import LRSchedule, StepHyper
 from ..parallel.mesh import (data_sharding, make_mesh, param_sharding_rule,
                              replicated, shard_batch)
@@ -67,10 +67,11 @@ class Trainer:
             max_gt=plan.max_boxes,
             fl_gamma=plan.focal_gamma,
             fl_alpha=plan.focal_alpha,
+            iou_ratio=plan.iou_loss_ratio,
             threshold=plan.anchor_t,
         )
         self.optimizer = make_optimizer(plan)
-        self.aug_cfg = AugConfig(size=plan.image_size)
+        self.aug_cfg = aug_config_from_plan(plan)
         self._jit_cache: Dict[Any, Any] = {}
 
     # ------------------------------------------------------------------
@@ -192,6 +193,7 @@ class Trainer:
         step_fn = self.jitted_train_step()
         eval_fn = self.jitted_eval_loss()
         best_loss = math.inf
+        best_map = -math.inf
         history = []
 
         host_step = int(state["step"])
@@ -199,6 +201,7 @@ class Trainer:
             train_ds.epoch_now = epoch
             t0 = time.time()
             losses, nsteps = [], 0
+            hyper = sched(host_step)
             loader = PrefetchLoader(
                 lambda: train_ds.epoch_batches(plan.batch_size, plan.shuffle,
                                                plan.drop_last))
@@ -217,8 +220,12 @@ class Trainer:
             mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
             history.append(mean_loss)
             ips = nsteps * plan.batch_size / max(time.time() - t0, 1e-9)
+            # hyper is the last step's hyper: the lr actually used this
+            # epoch (evaluating sched(host_step) here would show the NEXT
+            # epoch's lr — and past the final epoch the reference's own
+            # linear lambda goes negative, learningrate_scheduler.py:44)
             log(f"epoch {epoch + 1}/{plan.epochs} loss {mean_loss:.4f} "
-                f"lr {sched(host_step).lr_weights:.6f} {ips:.1f} img/s")
+                f"lr {hyper.lr_weights:.6f} {ips:.1f} img/s")
 
             save_checkpoint(last_path, state)  # crash-safe step-level resume
 
@@ -235,7 +242,29 @@ class Trainer:
                 save_checkpoint(plan.save_path, state)
                 log(f"epoch {epoch + 1} new best {mean_loss:.4f} "
                     f"(val {val_mean:.4f}) -> {plan.save_path}")
+
+            # mAP-gated validation on the EMA weights (val_map_every plan
+            # key; new capability — the reference validates loss only)
+            if plan.val_map_every and (epoch + 1) % plan.val_map_every == 0:
+                summary = self.validate_map(state, log=lambda *_: None)
+                m = summary.get("mAP@0.5:0.95", 0.0)
+                line = f"epoch {epoch + 1} val mAP@0.5:0.95 {m:.4f}"
+                if m > best_map:
+                    best_map = m
+                    save_checkpoint(plan.save_path + ".bestmap", state)
+                    line += f" (best) -> {plan.save_path}.bestmap"
+                log(line)
         return state
+
+    def validate_map(self, state, log=print, **kw) -> dict:
+        """mAP evaluation of the current EMA weights over plan.val_indexes."""
+        from ..detect_api import Detector
+        from ..eval.validate import validate
+        ema_tree = state["ema"].tree
+        det = Detector(self.plan, dtype=self.dtype,
+                       params=ema_tree["params"],
+                       batch_stats=ema_tree["batch_stats"])
+        return validate(self.plan, detector=det, log=log, **kw)
 
 
 def train(train_cfg_file: str, **kw):
