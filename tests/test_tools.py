@@ -74,6 +74,16 @@ def test_load_and_gen_anchors(tmp_path):
     assert len(txt.split(",")) == 8
 
 
+def test_gen_anchors_cluster_plot(tmp_path):
+    """Scatter plot parity (tools/gen_anchors.py:111-117)."""
+    _write_voc(tmp_path)
+    plot = str(tmp_path / "kmeans.jpg")
+    gen_anchors(str(tmp_path / "VOCX" / "Annotations"), (640, 640), 4,
+                str(tmp_path / "anchors.txt"), seed=0, plot_file=plot)
+    import os
+    assert os.path.exists(plot) and os.path.getsize(plot) > 1000
+
+
 def test_prepare_voc(tmp_path, capsys):
     _write_voc(tmp_path)
     counts = prepare_voc(str(tmp_path), ["VOCX"], ["cat", "dog"], seed=0)

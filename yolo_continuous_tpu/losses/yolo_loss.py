@@ -213,7 +213,14 @@ def yolo_loss(
     shipped loss cannot consume IAuxDetect's 6 maps).
     """
     nl = len(cfg.strides)
-    preds = [jnp.asarray(p, jnp.float32) for p in preds]
+    # HBM-traffic note: head maps arrive in the compute dtype (bf16 on
+    # TPU) and are NOT upcast wholesale — a full fp32 copy of the three
+    # (bs,h,w,na,no) maps costs ~2x the step's dominant activation
+    # traffic (round-1 roofline: the step is bandwidth-bound). Instead
+    # the small candidate gathers and the 1-of-no obj-channel slice are
+    # cast to fp32 where the math needs it; values are bit-identical to
+    # the upcast-first formulation (casts commute with gather/slice).
+    preds = [jnp.asarray(p) for p in preds]
     targets = jnp.asarray(targets, jnp.float32)
     tmask = jnp.asarray(tmask, bool)
     bs = targets.shape[0]
@@ -229,7 +236,8 @@ def yolo_loss(
         # gather predictions at candidate cells: idx into (h*w*na)
         flat = preds[i].reshape(bs, h * w * na_of(preds[i]), preds[i].shape[-1])
         idx = (gj * w + gi) * na_of(preds[i]) + a_idx
-        p_cand = jnp.take_along_axis(flat, idx[..., None], axis=1)   # (bs, C, no)
+        p_cand = jnp.take_along_axis(flat, idx[..., None], axis=1) \
+            .astype(jnp.float32)                                     # (bs, C, no)
         anchors_cand = anchors_f[a_idx[0]]                            # (C,2) static pattern
         cand.append(dict(gt=gt_idx, a=a_idx, gi=gi, gj=gj, mask=mask,
                          p=p_cand, anchors_f=anchors_cand, h=h, w=w,
@@ -299,7 +307,8 @@ def yolo_loss(
             tobj = jnp.zeros((bs * h * w * na,), jnp.float32)
             tobj = tobj.at[flat_idx.reshape(-1)].max(vals.reshape(-1))
             tobj = jnp.clip(tobj, 0.0, None).reshape(bs, h, w, na)
-            obj_elem = qfocal_loss(pl[..., 4], tobj, cfg.fl_gamma, cfg.fl_alpha)
+            obj_elem = qfocal_loss(pl[..., 4].astype(jnp.float32), tobj,
+                                   cfg.fl_gamma, cfg.fl_alpha)
             obj_total.append((jnp.mean(obj_elem) * _balance_for_stride(stride), None))
 
             # cls loss; :109-112
@@ -328,12 +337,13 @@ def yolo_loss(
     if aux_preds:
         aux_cand = []
         for i, c in enumerate(cand):
-            ap = jnp.asarray(aux_preds[i], jnp.float32)
+            ap = jnp.asarray(aux_preds[i])
             flat = ap.reshape(bs, c["h"] * c["w"] * ap.shape[3], ap.shape[-1])
             idx = (c["gj"] * c["w"] + c["gi"]) * ap.shape[3] + c["a"]
-            p_cand = jnp.take_along_axis(flat, idx[..., None], axis=1)
+            p_cand = jnp.take_along_axis(flat, idx[..., None], axis=1) \
+                .astype(jnp.float32)
             aux_cand.append({**c, "p": p_cand})
-        abox, aobj, acls = level_losses([jnp.asarray(a, jnp.float32) for a in aux_preds],
+        abox, aobj, acls = level_losses([jnp.asarray(a) for a in aux_preds],
                                         aux_cand, fg_lvl, mg_lvl)
         box_l = box_l + cfg.aux_weight * abox
         obj_l = obj_l + cfg.aux_weight * aobj

@@ -69,13 +69,36 @@ def load_voc_boxes(path: str) -> np.ndarray:
     return np.array(data)
 
 
+def plot_clusters(data: np.ndarray, cluster: np.ndarray, near: np.ndarray,
+                  out_file: str = "kmeans_for_anchors.jpg") -> str:
+    """Cluster scatter plot; tools/gen_anchors.py:111-117 (one color per
+    cluster membership, black x at each center). Headless backend."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6, 6))
+    for j in range(cluster.shape[0]):
+        ax.scatter(data[near == j][:, 0], data[near == j][:, 1], s=8)
+        ax.scatter(cluster[j][0], cluster[j][1], marker="x", c="black")
+    ax.set_xlabel("box width (px)")
+    ax.set_ylabel("box height (px)")
+    fig.savefig(out_file, dpi=100)
+    plt.close(fig)
+    return out_file
+
+
 def gen_anchors(annotation_dir: str, input_shape=(640, 640), anchors_num: int = 9,
-                out_file: str = "yolo_anchors.txt", seed: int = 0) -> np.ndarray:
+                out_file: str = "yolo_anchors.txt", seed: int = 0,
+                plot_file: str | None = None) -> np.ndarray:
     """Full flow of the reference __main__ (tools/gen_anchors.py:96-132),
-    minus the matplotlib scatter plot."""
+    including the cluster scatter plot when ``plot_file`` is given."""
     data = load_voc_boxes(annotation_dir)
-    cluster, _ = kmeans(data, anchors_num, seed=seed)
-    cluster = cluster * np.array([input_shape[1], input_shape[0]])
+    cluster, near = kmeans(data, anchors_num, seed=seed)
+    scale = np.array([input_shape[1], input_shape[0]])
+    cluster = cluster * scale
+    if plot_file:
+        plot_clusters(data * scale, cluster, near, plot_file)
     cluster = cluster[np.argsort(cluster[:, 0] * cluster[:, 1])]
     with open(out_file, "w") as f:
         f.write(", ".join("%d,%d" % (c[0], c[1]) for c in cluster))
