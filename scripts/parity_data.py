@@ -158,10 +158,18 @@ def write_plans(outdir, train_ann, val_ann, anchors, epochs=60, batch=8,
         # active on both, keeping the recipes comparable.
         mosaic=False, mixup=False, mosaic_prob=0.0, mixup_prob=0.0,
     )
+    # our enhance knobs mirror the reference's ACTUAL train-path
+    # semantics (yolo_dataset_git.py:101: jitter/flip-LR/HSV with
+    # hue=.1 sat=.7 val=.4, NO up-down flip) — the repo's shipped
+    # enhance.yaml has flip_ud 0.5 / hsv_h 0.015, which would train a
+    # different recipe than the torch side and void the A/B.
+    ours_enhance = {"hsv_h": 0.1, "hsv_s": 0.7, "hsv_v": 0.4,
+                    "flip_lr": 0.5, "flip_ud": 0.0, "equalize": 0.0,
+                    "mosaic": 0.0, "mix-up": 0.0, "copy_paste": 0.0}
     ours = dict(common, device="tpu", workers=0, pin_memory=False,
                 drop_last=False, save_name="ab_ours",
                 model_cfg=os.path.join(repo, "cfg/net/yolov7-tiny.yaml"),
-                enhance_cfg=os.path.join(repo, "cfg/enhance/enhance.yaml"),
+                enhance_cfg=ours_enhance,
                 max_boxes=32, cache_images=True, seed=0, ema=True)
     ref = dict(common, device="cpu", workers=0, pin_memory=False,
                drop_last=False, save_name="ab_torch",

@@ -75,3 +75,19 @@ def test_bf16_compute_dtype():
                             jax.random.PRNGKey(0), x)
     # params stay fp32 under a bf16 compute policy
     assert all(x.dtype == jnp.float32 for x in jax.tree.leaves(shapes["params"]))
+
+
+def test_fp32_heads_under_bf16_body():
+    """Mixed-precision policy: head LOGITS compute in fp32 even when the
+    body runs bf16 (head_dtype default; precision bounds mAP)."""
+    spec = _spec("yolov7-tiny", 1)
+    model = YoloModel(spec=spec, dtype=jnp.bfloat16)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x, False)
+    outs = model.apply(v, x, False)
+    assert all(o.dtype == jnp.float32 for o in outs)
+    # opt-out keeps the old pure-bf16 behavior
+    model_bf = YoloModel(spec=spec, dtype=jnp.bfloat16,
+                         head_dtype=jnp.bfloat16)
+    outs_bf = model_bf.apply(v, x, False)
+    assert all(o.dtype == jnp.bfloat16 for o in outs_bf)

@@ -120,6 +120,9 @@ class YoloBody(nn.Module):
     phi: str = "l"
     anchors_per_level: int = 3
     dtype: Dtype = jnp.float32
+    # head convs in fp32 regardless of body dtype (same mixed-precision
+    # policy as builder.YoloModel.head_dtype: logit precision bounds mAP)
+    head_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -172,9 +175,10 @@ class YoloBody(nn.Module):
         rep4 = pyr_conv(t * 8, t * 16, "rep_conv_2")(p4, train)
         rep5 = pyr_conv(t * 16, t * 32, "rep_conv_3")(p5, train)
 
-        out2 = conv2d(self, rep3, no, 1, bias=True, name="yolo_head_P3", dtype=dt)
-        out1 = conv2d(self, rep4, no, 1, bias=True, name="yolo_head_P4", dtype=dt)
-        out0 = conv2d(self, rep5, no, 1, bias=True, name="yolo_head_P5", dtype=dt)
+        hdt = self.head_dtype
+        out2 = conv2d(self, rep3, no, 1, bias=True, name="yolo_head_P3", dtype=hdt)
+        out1 = conv2d(self, rep4, no, 1, bias=True, name="yolo_head_P4", dtype=hdt)
+        out0 = conv2d(self, rep5, no, 1, bias=True, name="yolo_head_P5", dtype=hdt)
 
         def shape5(y):
             bs, h, w, _ = y.shape
