@@ -157,6 +157,23 @@ def cmd_report(d):
     lines += ["",
               f"North star (BASELINE.md): delta >= -0.2 on mAP@0.5 -> "
               f"**{verdict}** ({d050:+.4f})", ""]
+    abl_path = os.path.join(d, "ablations.json")
+    if os.path.exists(abl_path):
+        abl = json.load(open(abl_path))
+        lines += ["## Precision / recipe ablations (same dataset & budget)",
+                  "",
+                  "| variant | mAP@0.5 | mAP@0.5:0.95 |", "|---|---|---|"]
+        for name, v in abl.items():
+            lines.append(f"| {name} | {v['mAP@0.5']:.4f} | "
+                         f"{v['mAP@0.5:0.95']:.4f} |")
+        lines += ["",
+                  "Two findings drove the framework defaults: (1) the "
+                  "shipped enhance.yaml's flip_ud 0.5 / hsv_h 0.015 train a "
+                  "DIFFERENT recipe than the reference dataset's hard-coded "
+                  "jitter/flip-LR/HSV (yolo_dataset_git.py:101) — the A/B "
+                  "matches recipes; (2) bf16 head logits cost ~0.05 mAP@0.5, "
+                  "hence the fp32-head default (nn/builder.py head_dtype).",
+                  ""]
     out = os.path.join(repo, "PARITY_AB.md")
     with open(out, "w") as f:
         f.write("\n".join(lines))

@@ -97,3 +97,54 @@ def test_grad_finite_nonzero():
     grads = grad_fn(tuple(preds))
     gmax = max(float(jnp.abs(g).max()) for g in grads)
     assert np.isfinite(gmax) and gmax > 0
+
+
+def test_widened_aux_candidates():
+    """find_5_positive (g=1.0) selects the full 5-cell stencil where the
+    lead assignment (g=0.5) picks center + 2 nearest (YOLOv7 aux
+    coarse-to-fine recipe)."""
+    from yolo_continuous_tpu.losses.yolo_loss import _candidates_level
+
+    tgt = jnp.asarray([[0.0, 5.3 / 16, 5.3 / 16, 0.2, 0.2]], jnp.float32)
+    tmask = jnp.asarray([True])
+    anchors_f = jnp.asarray([[3.0, 3.0]], jnp.float32)
+    *_, m_lead = _candidates_level(tgt, tmask, 16, 16, anchors_f, 4.0, 0.5)
+    *_, m_aux = _candidates_level(tgt, tmask, 16, 16, anchors_f, 4.0, 1.0)
+    assert int(m_lead.sum()) == 3          # center + x-left + y-up
+    assert int(m_aux.sum()) == 5           # full stencil
+    # widened set is a superset of the lead set
+    assert bool(jnp.all(m_aux | ~m_lead))
+
+
+def test_aux_loss_uses_widened_assignment():
+    """IAuxDetect maps flow through the second (g=1.0) SimOTA pass and
+    contribute grads (aux_weight gate)."""
+    import dataclasses
+
+    cfg = LossConfig(num_classes=3, input_size=(64, 64),
+                     strides=(8, 16, 32),
+                     anchors=(((12, 16), (19, 36), (40, 28)),
+                              ((36, 75), (76, 55), (72, 146)),
+                              ((142, 110), (192, 243), (459, 401))),
+                     max_gt=4)
+    rs = np.random.RandomState(0)
+    preds = [jnp.asarray(rs.randn(2, 64 // s, 64 // s, 3, 8) * 0.1,
+                         jnp.float32) for s in (8, 16, 32)]
+    auxp = [jnp.asarray(rs.randn(2, 64 // s, 64 // s, 3, 8) * 0.1,
+                        jnp.float32) for s in (8, 16, 32)]
+    tgt = np.zeros((2, 4, 5), np.float32)
+    tgt[:, 0] = [1, 0.5, 0.5, 0.4, 0.4]
+    tmask = np.zeros((2, 4), bool)
+    tmask[:, 0] = True
+    tgt, tmask = jnp.asarray(tgt), jnp.asarray(tmask)
+
+    base, _ = yolo_loss(preds, tgt, tmask, cfg)
+    with_aux, _ = yolo_loss(preds, tgt, tmask, cfg, aux_preds=auxp)
+    assert float(with_aux) > float(base)   # aux term adds loss
+    zero_w = dataclasses.replace(cfg, aux_weight=0.0)
+    no_aux, _ = yolo_loss(preds, tgt, tmask, zero_w, aux_preds=auxp)
+    assert abs(float(no_aux) - float(base)) < 1e-6
+    g = jax.grad(lambda a: yolo_loss(preds, tgt, tmask, cfg,
+                                     aux_preds=a)[0])(auxp)
+    assert all(bool(jnp.isfinite(x).all()) for x in g)
+    assert any(float(jnp.abs(x).max()) > 0 for x in g)

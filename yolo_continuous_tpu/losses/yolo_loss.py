@@ -90,14 +90,20 @@ def _sigmoid(x):
 # candidate generation (find_3_positive, static capacity)
 # ---------------------------------------------------------------------------
 
-# [0,0],[1,0],[0,1],[-1,0],[0,-1] scaled by g=0.5; yolo_loss.py:311-316
-_OFFSETS = jnp.array([[0.0, 0.0], [0.5, 0.0], [0.0, 0.5], [-0.5, 0.0], [0.0, -0.5]])
+# unit offset stencil [0,0],[1,0],[0,1],[-1,0],[0,-1]; scaled by the
+# offset gain g (0.5 for lead heads, yolo_loss.py:311-316; 1.0 for aux
+# heads — YOLOv7's find_5_positive widened coarse assignment)
+_UNIT_OFFSETS = jnp.array(
+    [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.0, -1.0]])
 
 
-def _candidates_level(tgt, tmask, h, w, anchors_f, threshold):
+def _candidates_level(tgt, tmask, h, w, anchors_f, threshold, g=0.5):
     """Candidate positives at one level for ONE image.
 
     tgt: (G, 5) [cls, cx, cy, bw, bh] normalized; tmask: (G,) bool.
+    ``g``: neighbor-cell offset gain — 0.5 selects center + 2 nearest
+    cells (find_3_positive); 1.0 selects all 5 stencil cells
+    (find_5_positive, used for aux-head assignment).
     Returns flattened (C,) arrays with C = 5 * na * G:
     gt_idx, a_idx (static patterns), gi, gj (dynamic), mask (dynamic).
     """
@@ -113,11 +119,12 @@ def _candidates_level(tgt, tmask, h, w, anchors_f, threshold):
 
     # neighbor-cell conditions; yolo_loss.py:350-354
     gxi = scale - gxy
-    jx, ky = ((gxy % 1.0 < 0.5) & (gxy > 1.0)).T  # x-left, y-up
-    lx, my = ((gxi % 1.0 < 0.5) & (gxi > 1.0)).T  # x-right, y-down
+    jx, ky = ((gxy % 1.0 < g) & (gxy > 1.0)).T    # x-left, y-up
+    lx, my = ((gxi % 1.0 < g) & (gxi > 1.0)).T    # x-right, y-down
     off_ok = jnp.stack([jnp.ones_like(jx), jx, ky, lx, my])  # (5,G)
 
-    gij = jnp.floor(gxy[None, :, :] - _OFFSETS[:, None, :]).astype(jnp.int32)  # (5,G,2)
+    gij = jnp.floor(gxy[None, :, :] - g * _UNIT_OFFSETS[:, None, :]) \
+        .astype(jnp.int32)                        # (5,G,2)
     gi = jnp.clip(gij[..., 0], 0, w - 1)          # yolo_loss.py:384 clamp
     gj = jnp.clip(gij[..., 1], 0, h - 1)
 
@@ -207,9 +214,11 @@ def yolo_loss(
 ):
     """Total training loss. Returns (scalar, dict of parts).
 
-    ``aux_preds``: optional coarse maps from IAuxDetect (same grid sizes as
-    ``preds``); they reuse the lead heads' assignments at ``aux_weight``
-    (the reference loss predates aux training; SURVEY §2 flags that its
+    ``aux_preds``: optional coarse maps from IAuxDetect (same grid sizes
+    as ``preds``); trained with YOLOv7's widened coarse assignment — a
+    find_5_positive (g=1.0) candidate set matched by a second SimOTA
+    pass whose costs use the lead predictions — at ``aux_weight`` (the
+    reference loss predates aux training; SURVEY §2 flags that its
     shipped loss cannot consume IAuxDetect's 6 maps).
     """
     nl = len(cfg.strides)
@@ -226,50 +235,67 @@ def yolo_loss(
     bs = targets.shape[0]
     img_size = float(cfg.input_size[0])  # yolo_loss.py:153 uses image H
 
-    # ---- candidate generation per level (vmapped over batch) ----
-    cand = []   # per level dict of (bs, C_l) arrays + static parts
-    for i in range(nl):
-        h, w = preds[i].shape[1], preds[i].shape[2]
-        anchors_f = jnp.asarray(cfg.anchors[i], jnp.float32) / float(cfg.strides[i])
-        gen = jax.vmap(lambda t, m: _candidates_level(t, m, h, w, anchors_f, cfg.threshold))
-        gt_idx, a_idx, gi, gj, mask = gen(targets, tmask)
-        # gather predictions at candidate cells: idx into (h*w*na)
-        flat = preds[i].reshape(bs, h * w * na_of(preds[i]), preds[i].shape[-1])
-        idx = (gj * w + gi) * na_of(preds[i]) + a_idx
-        p_cand = jnp.take_along_axis(flat, idx[..., None], axis=1) \
-            .astype(jnp.float32)                                     # (bs, C, no)
-        anchors_cand = anchors_f[a_idx[0]]                            # (C,2) static pattern
-        cand.append(dict(gt=gt_idx, a=a_idx, gi=gi, gj=gj, mask=mask,
-                         p=p_cand, anchors_f=anchors_cand, h=h, w=w,
-                         stride=float(cfg.strides[i])))
-
-    # ---- decoded candidate boxes in px for the cost (stop-grad) ----
-    pbox_all, pobj_all, pcls_all, mask_all = [], [], [], []
-    for c in cand:
-        p = jax.lax.stop_gradient(c["p"])
-        sxy = _sigmoid(p[..., 0:2]) * 2.0 - 0.5
-        pxy = (sxy + jnp.stack([c["gi"], c["gj"]], -1)) * c["stride"]   # :190
-        pwh = (_sigmoid(p[..., 2:4]) * 2.0) ** 2 * c["anchors_f"] * c["stride"]  # :191
-        pbox = jnp.concatenate([pxy - pwh / 2, pxy + pwh / 2], axis=-1)  # xyxy
-        pbox_all.append(pbox)
-        pobj_all.append(p[..., 4])
-        pcls_all.append(p[..., 5:])
-        mask_all.append(c["mask"])
-    pbox_all = jnp.concatenate(pbox_all, axis=1)     # (bs, N, 4)
-    pobj_all = jnp.concatenate(pobj_all, axis=1)
-    pcls_all = jnp.concatenate(pcls_all, axis=1)
-    mask_all = jnp.concatenate(mask_all, axis=1)
-
     # gt boxes in px (xywh -> xyxy); :153-156
     txywh = targets[:, :, 1:5] * img_size
     tbox_xyxy = jnp.concatenate([txywh[..., :2] - txywh[..., 2:] / 2,
                                  txywh[..., :2] + txywh[..., 2:] / 2], axis=-1)
     tcls = targets[:, :, 0].astype(jnp.int32)
 
-    fg, matched_gt = jax.vmap(partial(_simota_match, topk=cfg.topk))(
-        tbox_xyxy, tcls, tmask, pbox_all, pobj_all, pcls_all, mask_all)
-    fg = jax.lax.stop_gradient(fg)
-    matched_gt = jax.lax.stop_gradient(matched_gt)
+    def build_cands(gather_preds, g):
+        """Candidate cells at offset gain g, with ``gather_preds`` maps
+        gathered at those cells (vmapped over batch)."""
+        cand = []   # per level dict of (bs, C_l) arrays + static parts
+        for i in range(nl):
+            h, w = preds[i].shape[1], preds[i].shape[2]
+            anchors_f = jnp.asarray(cfg.anchors[i], jnp.float32) / float(cfg.strides[i])
+            gen = jax.vmap(lambda t, m: _candidates_level(
+                t, m, h, w, anchors_f, cfg.threshold, g))
+            gt_idx, a_idx, gi, gj, mask = gen(targets, tmask)
+            gp = gather_preds[i]
+            na = gp.shape[3]
+            flat = gp.reshape(bs, h * w * na, gp.shape[-1])
+            idx = (gj * w + gi) * na + a_idx
+            p_cand = jnp.take_along_axis(flat, idx[..., None], axis=1) \
+                .astype(jnp.float32)                                 # (bs, C, no)
+            anchors_cand = anchors_f[a_idx[0]]                       # (C,2) static pattern
+            cand.append(dict(gt=gt_idx, a=a_idx, gi=gi, gj=gj, mask=mask,
+                             p=p_cand, anchors_f=anchors_cand, h=h, w=w,
+                             stride=float(cfg.strides[i])))
+        return cand
+
+    def match_cands(cand):
+        """Decode candidates (stop-grad) and run SimOTA; returns
+        per-level fg/matched-gt slices + the flat fg/mask."""
+        pbox_all, pobj_all, pcls_all, mask_all = [], [], [], []
+        for c in cand:
+            p = jax.lax.stop_gradient(c["p"])
+            sxy = _sigmoid(p[..., 0:2]) * 2.0 - 0.5
+            pxy = (sxy + jnp.stack([c["gi"], c["gj"]], -1)) * c["stride"]   # :190
+            pwh = (_sigmoid(p[..., 2:4]) * 2.0) ** 2 * c["anchors_f"] * c["stride"]  # :191
+            pbox = jnp.concatenate([pxy - pwh / 2, pxy + pwh / 2], axis=-1)  # xyxy
+            pbox_all.append(pbox)
+            pobj_all.append(p[..., 4])
+            pcls_all.append(p[..., 5:])
+            mask_all.append(c["mask"])
+        pbox_all = jnp.concatenate(pbox_all, axis=1)     # (bs, N, 4)
+        pobj_all = jnp.concatenate(pobj_all, axis=1)
+        pcls_all = jnp.concatenate(pcls_all, axis=1)
+        mask_all = jnp.concatenate(mask_all, axis=1)
+
+        fg, matched_gt = jax.vmap(partial(_simota_match, topk=cfg.topk))(
+            tbox_xyxy, tcls, tmask, pbox_all, pobj_all, pcls_all, mask_all)
+        fg = jax.lax.stop_gradient(fg)
+        matched_gt = jax.lax.stop_gradient(matched_gt)
+        sizes = [c["mask"].shape[1] for c in cand]
+        offs = [0]
+        for s in sizes:
+            offs.append(offs[-1] + s)
+        fg_lvl = [fg[:, offs[i]:offs[i + 1]] for i in range(nl)]
+        mg_lvl = [matched_gt[:, offs[i]:offs[i + 1]] for i in range(nl)]
+        return fg_lvl, mg_lvl, fg, mask_all
+
+    cand = build_cands(preds, 0.5)          # find_3_positive; yolo_loss.py:294
+    fg_lvl, mg_lvl, fg, mask_all = match_cands(cand)
 
     cp, cn = smooth_bce(cfg.label_smoothing)        # yolo_loss.py:44
 
@@ -323,28 +349,22 @@ def yolo_loss(
         cls_l = sum(v for v, _ in cls_total)
         return box_l, obj_l, cls_l
 
-    # split fg/matched_gt back into per-level slices
-    sizes = [c["mask"].shape[1] for c in cand]
-    offs = [0]
-    for s in sizes:
-        offs.append(offs[-1] + s)
-    fg_lvl = [fg[:, offs[i]:offs[i + 1]] for i in range(nl)]
-    mg_lvl = [matched_gt[:, offs[i]:offs[i + 1]] for i in range(nl)]
-
     box_l, obj_l, cls_l = level_losses(preds, cand, fg_lvl, mg_lvl)
 
-    # aux heads reuse the lead assignments at aux_weight
+    # Aux heads: YOLOv7's coarse-to-fine assignment — candidate cells
+    # widened to the full 5-cell stencil (find_5_positive, g=1.0), a
+    # SECOND SimOTA match whose costs come from the LEAD predictions at
+    # those cells, and the resulting targets applied to the AUX outputs
+    # at aux_weight. (The reference loss predates IAuxDetect and cannot
+    # consume its 6 maps at all — SURVEY §2; this follows the YOLOv7
+    # paper's auxiliary-head recipe instead.)
     if aux_preds:
-        aux_cand = []
-        for i, c in enumerate(cand):
-            ap = jnp.asarray(aux_preds[i])
-            flat = ap.reshape(bs, c["h"] * c["w"] * ap.shape[3], ap.shape[-1])
-            idx = (c["gj"] * c["w"] + c["gi"]) * ap.shape[3] + c["a"]
-            p_cand = jnp.take_along_axis(flat, idx[..., None], axis=1) \
-                .astype(jnp.float32)
-            aux_cand.append({**c, "p": p_cand})
-        abox, aobj, acls = level_losses([jnp.asarray(a) for a in aux_preds],
-                                        aux_cand, fg_lvl, mg_lvl)
+        aux_preds = [jnp.asarray(a) for a in aux_preds]
+        cost_cand = build_cands(preds, 1.0)       # lead preds, widened cells
+        afg_lvl, amg_lvl, _, _ = match_cands(cost_cand)
+        aux_cand = [dict(cc, p=ac["p"]) for cc, ac in
+                    zip(cost_cand, build_cands(aux_preds, 1.0))]
+        abox, aobj, acls = level_losses(aux_preds, aux_cand, afg_lvl, amg_lvl)
         box_l = box_l + cfg.aux_weight * abox
         obj_l = obj_l + cfg.aux_weight * aobj
         cls_l = cls_l + cfg.aux_weight * acls

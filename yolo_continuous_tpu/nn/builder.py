@@ -322,12 +322,12 @@ class YoloModel(nn.Module):
     """
     spec: ModelSpec
     dtype: Any = jnp.float32
-    # detection-head convs always compute in fp32 (mixed-precision
-    # policy): the 1x1 head convs are a tiny FLOP fraction, but their
-    # outputs are box/obj/cls LOGITS whose precision directly bounds
-    # mAP — a bf16 head costs ~0.05 mAP@0.5 in the parity A/B
-    # (PARITY_AB.md) while fp32 heads close most of that gap. Set to
-    # jnp.bfloat16 to opt out (pure-bf16 benchmarking).
+    # detection-head logits accumulate and store in fp32 (mixed-precision
+    # policy, layers.LogitConv): multiplies stay in the body dtype (MXU
+    # bf16 speed) but the box/obj/cls LOGITS — whose precision directly
+    # bounds mAP; a bf16 head costs ~0.05 mAP@0.5 in the parity A/B
+    # (PARITY_AB.md) — come out of the fp32 MXU accumulator unrounded.
+    # Set to jnp.bfloat16 to opt out (pure-bf16 benchmarking).
     head_dtype: Any = jnp.float32
 
     @nn.compact
@@ -460,16 +460,20 @@ class YoloModel(nn.Module):
         if name == "Classify":
             return L.Classify(s.c2, _def(a, 0, 1), _def(a, 1, 1), _defn(a, 2, None),
                               _def(a, 3, 1), dt, name=nm)(x, train)
+        # heads multiply in the body dtype but accumulate/emit logits in
+        # head_dtype (fp32 default) — MXU fp32 accumulation makes this
+        # bf16-speed with fp32-precision logits (layers.LogitConv)
         hdt = self.head_dtype
         if name == "Detect":
-            return Detect(self.spec.nc, self.spec.na, hdt, name="detect")(x, train)
+            return Detect(self.spec.nc, self.spec.na, dt, hdt, name="detect")(x, train)
         if name == "IDetect":
-            return IDetect(self.spec.nc, self.spec.na, hdt, name="idetect")(x, train)
+            return IDetect(self.spec.nc, self.spec.na, dt, hdt, name="idetect")(x, train)
         if name == "IAuxDetect":
-            return IAuxDetect(self.spec.nc, self.spec.na, len(self.spec.strides), hdt,
-                              name="iauxdetect")(x, train)
+            return IAuxDetect(self.spec.nc, self.spec.na, len(self.spec.strides), dt,
+                              hdt, name="iauxdetect")(x, train)
         if name == "IBin":
-            return IBin(self.spec.nc, self.spec.na, self.spec.bin_count, hdt, name="ibin")(x, train)
+            return IBin(self.spec.nc, self.spec.na, self.spec.bin_count, dt, hdt,
+                        name="ibin")(x, train)
         raise ValueError(f"unknown module {name!r} at layer {s.i}")
 
 

@@ -28,7 +28,7 @@ from typing import Any, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ImplicitA, ImplicitM, conv2d
+from .layers import ImplicitA, ImplicitM, conv2d, logit_conv2d
 
 Dtype = Any
 
@@ -47,14 +47,15 @@ class Detect(nn.Module):
     """
     nc: int
     na: int = 3
-    dtype: Dtype = jnp.float32
+    dtype: Dtype = jnp.float32       # multiply dtype (the body's dtype)
+    out_dtype: Dtype = jnp.float32   # logit accumulate/output dtype
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         no = self.nc + 5
-        p3 = conv2d(self, x[0], self.na * no, 1, bias=True, name="head_p3", dtype=self.dtype)
-        p4 = conv2d(self, x[1], self.na * no, 1, bias=True, name="head_p4", dtype=self.dtype)
-        p5 = conv2d(self, x[2], self.na * no, 1, bias=True, name="head_p5", dtype=self.dtype)
+        p3 = logit_conv2d(self, x[0], self.na * no, "head_p3", self.dtype, self.out_dtype)
+        p4 = logit_conv2d(self, x[1], self.na * no, "head_p4", self.dtype, self.out_dtype)
+        p5 = logit_conv2d(self, x[2], self.na * no, "head_p5", self.dtype, self.out_dtype)
         return [_reshape_head(p, self.na, no) for p in (p5, p4, p3)]
 
 
@@ -62,7 +63,8 @@ class IDetect(nn.Module):
     """Implicit-knowledge head; nets/idetect.py:7-50. Output order = input order (P3-first)."""
     nc: int
     na: int = 3
-    dtype: Dtype = jnp.float32
+    dtype: Dtype = jnp.float32       # multiply dtype (the body's dtype)
+    out_dtype: Dtype = jnp.float32   # logit accumulate/output dtype
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -71,7 +73,7 @@ class IDetect(nn.Module):
         for i, xi in enumerate(x):
             c1 = xi.shape[-1]
             y = ImplicitA(c1, name=f"ia{i}")(xi)
-            y = conv2d(self, y, self.na * no, 1, bias=True, name=f"m{i}", dtype=self.dtype)
+            y = logit_conv2d(self, y, self.na * no, f"m{i}", self.dtype, self.out_dtype)
             y = ImplicitM(self.na * no, name=f"im{i}")(y)
             outs.append(_reshape_head(y, self.na, no))
         return outs
@@ -86,7 +88,8 @@ class IAuxDetect(nn.Module):
     nc: int
     na: int = 3
     nl: int = 3
-    dtype: Dtype = jnp.float32
+    dtype: Dtype = jnp.float32       # multiply dtype (the body's dtype)
+    out_dtype: Dtype = jnp.float32   # logit accumulate/output dtype
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -95,10 +98,10 @@ class IAuxDetect(nn.Module):
         for i in range(self.nl):
             c1 = x[i].shape[-1]
             y = ImplicitA(c1, name=f"ia{i}")(x[i])
-            y = conv2d(self, y, self.na * no, 1, bias=True, name=f"m{i}", dtype=self.dtype)
+            y = logit_conv2d(self, y, self.na * no, f"m{i}", self.dtype, self.out_dtype)
             y = ImplicitM(self.na * no, name=f"im{i}")(y)
             leads.append(_reshape_head(y, self.na, no))
-            y2 = conv2d(self, x[i + self.nl], self.na * no, 1, bias=True, name=f"m2_{i}", dtype=self.dtype)
+            y2 = logit_conv2d(self, x[i + self.nl], self.na * no, f"m2_{i}", self.dtype, self.out_dtype)
             auxes.append(_reshape_head(y2, self.na, no))
         return leads + auxes
 
@@ -112,7 +115,8 @@ class IBin(nn.Module):
     nc: int
     na: int = 3
     bin_count: int = 21
-    dtype: Dtype = jnp.float32
+    dtype: Dtype = jnp.float32       # multiply dtype (the body's dtype)
+    out_dtype: Dtype = jnp.float32   # logit accumulate/output dtype
 
     @property
     def no(self) -> int:
@@ -124,7 +128,7 @@ class IBin(nn.Module):
         for i, xi in enumerate(x):
             c1 = xi.shape[-1]
             y = ImplicitA(c1, name=f"ia{i}")(xi)
-            y = conv2d(self, y, self.na * self.no, 1, bias=True, name=f"m{i}", dtype=self.dtype)
+            y = logit_conv2d(self, y, self.na * self.no, f"m{i}", self.dtype, self.out_dtype)
             y = ImplicitM(self.na * self.no, name=f"im{i}")(y)
             outs.append(_reshape_head(y, self.na, self.no))
         return outs

@@ -90,6 +90,47 @@ def conv2d(
     )(x)
 
 
+class LogitConv(nn.Module):
+    """1x1 detection-head conv: bf16 MXU multiplies, fp32 accumulate/out.
+
+    The head logits' precision directly bounds mAP (PARITY_AB.md
+    ablation: bf16 logits cost ~0.05 mAP@0.5), but full-fp32 head convs
+    double the head's HBM read traffic. On TPU the MXU accumulates bf16
+    products in fp32 natively, so ``preferred_element_type=float32``
+    gives fp32-quality logits at bf16 speed: inputs/weights round to the
+    multiply dtype (exactly the body's precision), accumulation and the
+    stored output stay fp32.
+
+    Parameter layout matches ``nn.Conv`` (kernel HWIO + bias), so the
+    torch checkpoint importer and all param-tree tooling are unaffected.
+    """
+    features: int
+    mult_dtype: Any = jnp.float32   # multiply dtype (the body's dtype)
+    out_dtype: Any = jnp.float32    # accumulate / output dtype
+
+    @nn.compact
+    def __call__(self, x):
+        c1 = x.shape[-1]
+        # param stays (1,1,cin,cout) HWIO so checkpoints/torch-import see
+        # a normal conv kernel; a 1x1 conv IS a matmul, and dot_general
+        # (unlike conv_general_dilated) supports preferred_element_type
+        # through its VJP — the backward multiplies run in mult_dtype too.
+        kernel = self.param("kernel", normal_init,
+                            (1, 1, c1, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        y = jax.lax.dot_general(
+            x.astype(self.mult_dtype), kernel[0, 0].astype(self.mult_dtype),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=self.out_dtype)
+        return y + bias.astype(self.out_dtype)
+
+
+def logit_conv2d(parent: nn.Module, x: jnp.ndarray, c2: int, name: str,
+                 mult_dtype: Dtype, out_dtype: Dtype) -> jnp.ndarray:
+    return LogitConv(c2, mult_dtype, out_dtype, name=name)(x)
+
+
 class BatchNorm(nn.Module):
     """BatchNorm: fp32 statistics/params, elementwise math in the input dtype.
 

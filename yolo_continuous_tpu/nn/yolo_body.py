@@ -18,8 +18,8 @@ from typing import Any, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import (BatchNorm, Conv, RepConv, SPPCSPC, conv2d, max_pool,
-                     upsample_nearest_2x)
+from .layers import (BatchNorm, Conv, RepConv, SPPCSPC, conv2d,
+                     logit_conv2d, max_pool, upsample_nearest_2x)
 
 Dtype = Any
 
@@ -176,9 +176,9 @@ class YoloBody(nn.Module):
         rep5 = pyr_conv(t * 16, t * 32, "rep_conv_3")(p5, train)
 
         hdt = self.head_dtype
-        out2 = conv2d(self, rep3, no, 1, bias=True, name="yolo_head_P3", dtype=hdt)
-        out1 = conv2d(self, rep4, no, 1, bias=True, name="yolo_head_P4", dtype=hdt)
-        out0 = conv2d(self, rep5, no, 1, bias=True, name="yolo_head_P5", dtype=hdt)
+        out2 = logit_conv2d(self, rep3, no, "yolo_head_P3", dt, hdt)
+        out1 = logit_conv2d(self, rep4, no, "yolo_head_P4", dt, hdt)
+        out0 = logit_conv2d(self, rep5, no, "yolo_head_P5", dt, hdt)
 
         def shape5(y):
             bs, h, w, _ = y.shape
