@@ -9,6 +9,7 @@ Usage:
     python detect.py cfg/chip_tiny.yaml resource/horses.jpg --conf 0.3 --nms 0.3
 """
 import argparse
+import os
 
 from yolo_continuous_tpu.detect_api import predict
 
@@ -21,7 +22,9 @@ def main():
     ap.add_argument("--nms", type=float, default=0.3)
     ap.add_argument("--save", default=None, help="write rendered image here")
     ap.add_argument("--show", action="store_true")
-    ap.add_argument("--device", default="", help="backend: '', 'cpu', 'tpu'")
+    ap.add_argument("--device",
+                    default=os.environ.get("JAX_PLATFORMS", "").strip(),
+                    help="backend: '', 'cpu', 'tpu'")
     args = ap.parse_args()
     if args.device:
         from yolo_continuous_tpu.utils.timing import select_device

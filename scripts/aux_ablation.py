@@ -128,6 +128,12 @@ def run_variant(aux_weight, steps, seed=0):
 
 
 def main():
+    # honor JAX_PLATFORMS=cpu for real: the axon TPU plugin ignores the
+    # env var (and hangs at discovery when the tunnel is down) unless
+    # the platform is pinned via config before backend init
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 300
     out = {"with_aux": run_variant(0.25, steps),
            "without_aux": run_variant(0.0, steps)}

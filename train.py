@@ -10,6 +10,7 @@ Usage:
     python train.py [cfg/voc_train.yaml]
 """
 import argparse
+import os
 
 from yolo_continuous_tpu.config.plan import check_file
 from yolo_continuous_tpu.train.train_loop import train
@@ -19,9 +20,11 @@ def main():
     ap = argparse.ArgumentParser(description="Train a detector from a plan YAML")
     ap.add_argument("cfg", nargs="?", default="cfg/voc_train.yaml",
                     help="train-plan YAML (default: cfg/voc_train.yaml)")
-    ap.add_argument("--device", default="",
+    ap.add_argument("--device",
+                    default=os.environ.get("JAX_PLATFORMS", "").strip(),
                     help="backend: '' (default), 'cpu', 'tpu' "
-                         "(select_device analogue)")
+                         "(select_device analogue; JAX_PLATFORMS env "
+                         "honored — the TPU plugin ignores the env var)")
     args = ap.parse_args()
     if args.device:
         from yolo_continuous_tpu.utils.timing import select_device
