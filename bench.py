@@ -102,7 +102,11 @@ def bench_infer(batch=16, size=640, iters=24):
     cfg["image_size"] = size
     plan = TrainPlan(cfg)
     plan.save_path = "/nonexistent/x.msgpack"   # random weights
-    det = Detector(plan)
+    # serve configuration: bf16 logits — measured ZERO mAP cost at
+    # inference on the parity A/B task (PARITY_AB.md: only TRAINING
+    # under bf16-rounded logits costs accuracy) and halves the head-map
+    # HBM traffic into decode (throughput parity-or-better measured)
+    det = Detector(plan, head_dtype=jnp.bfloat16)
     infer = det._build_infer(0.25, 0.45, 300)
 
     NVAR = 4

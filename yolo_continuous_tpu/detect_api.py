@@ -72,9 +72,13 @@ class Detector:
     """Loads a plan + checkpoint and serves jitted end-to-end inference."""
 
     def __init__(self, plan: TrainPlan, dtype=None, params=None,
-                 batch_stats=None, use_ema: bool = True, fuse: bool = False):
+                 batch_stats=None, use_ema: bool = True, fuse: bool = False,
+                 head_dtype=None):
         """fuse=True re-parameterizes RepConv branches into single convs
-        (the reference's deploy-time ``fuse()``, nets/yolo_net.py:274-283)."""
+        (the reference's deploy-time ``fuse()``, nets/yolo_net.py:274-283).
+        head_dtype: logit accumulate/output dtype (default fp32, matching
+        training; bf16 halves head-map traffic with a measured-zero mAP
+        cost on the A/B task — see PARITY_AB.md)."""
         self.plan = plan
         self.dtype = dtype or (jnp.bfloat16 if jax.default_backend() == "tpu"
                                else jnp.float32)
@@ -82,7 +86,9 @@ class Detector:
         self.spec = build_model_spec(model_cfg, plan.image_chan, plan.anchors,
                                      plan.num_labels, plan.anchors_mask)
         self.fuse = fuse
-        self.model = YoloModel(spec=self.spec, dtype=self.dtype)
+        self.head_dtype = head_dtype or jnp.float32
+        self.model = YoloModel(spec=self.spec, dtype=self.dtype,
+                               head_dtype=self.head_dtype)
         self.nl = len(self.spec.strides)
 
         if params is None:
@@ -107,7 +113,8 @@ class Detector:
             params, batch_stats = fuse_model_params(self.spec, params,
                                                     batch_stats or {})
             self.spec = deploy_spec(self.spec)
-            self.model = YoloModel(spec=self.spec, dtype=self.dtype)
+            self.model = YoloModel(spec=self.spec, dtype=self.dtype,
+                                   head_dtype=self.head_dtype)
         self.params = params
         self.batch_stats = batch_stats or {}
         self._infer = None
