@@ -154,3 +154,32 @@ def test_cache_images(tiny_dataset):
                       cache_images=False)
     b3 = ds2.batch([0, 1, 2])
     np.testing.assert_array_equal(b1[0], b3[0])
+
+
+def test_remat_step_matches_plain(tiny_dataset, tmp_path):
+    """jax.checkpoint over the forward (Trainer remat flag / plan key)
+    must not change the step's math — only its memory/traffic profile."""
+    plan = _plan(tiny_dataset, tmp_path)
+
+    rs = np.random.RandomState(0)
+    images = jnp.asarray(rs.rand(2, 64, 64, 3), jnp.float32)
+    labels = np.zeros((2, 8, 5), np.float32)
+    labels[:, 0] = [0, 0.5, 0.5, 0.5, 0.5]
+    lmask = np.zeros((2, 8), bool)
+    lmask[:, 0] = True
+    labels, lmask = jnp.asarray(labels), jnp.asarray(lmask)
+
+    outs = []
+    for remat in (False, True):
+        tr = Trainer(plan, dtype=jnp.float32, remat=remat)
+        assert tr.remat is remat
+        state = tr.init_state(jax.random.PRNGKey(0))
+        state, m = tr.jitted_train_step()(state, images, labels, lmask,
+                                          0.01, 0.1, 0.9)
+        outs.append((float(m["loss"]),
+                     float(jax.tree.reduce(
+                         lambda a, b: a + float(jnp.sum(jnp.abs(b))),
+                         state["params"], 0.0))))
+    (l0, p0), (l1, p1) = outs
+    assert abs(l0 - l1) < 1e-5 * max(1.0, abs(l0))
+    assert abs(p0 - p1) < 1e-4 * max(1.0, abs(p0))

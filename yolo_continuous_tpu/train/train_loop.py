@@ -48,10 +48,16 @@ class Trainer:
     """Builds the model/loss/optimizer from a TrainPlan and runs training."""
 
     def __init__(self, plan: TrainPlan, mesh=None, dtype=None,
-                 steps_per_epoch: Optional[int] = None):
+                 steps_per_epoch: Optional[int] = None,
+                 remat: Optional[bool] = None):
         self.plan = plan
         self.mesh = mesh
         self.dtype = dtype or default_dtype()
+        # jax.checkpoint over the forward: recompute activations in the
+        # backward instead of saving them — trades MXU FLOPs (which have
+        # headroom; the step is HBM-bandwidth-bound per the roofline in
+        # README.md) for activation traffic. Plan key `remat` overrides.
+        self.remat = plan.cfg.get("remat", False) if remat is None else remat
 
         model_cfg = cvt_cfg(plan.model_cfg)
         self.spec = build_model_spec(model_cfg, plan.image_chan, plan.anchors,
@@ -105,10 +111,16 @@ class Trainer:
         """Pure step function (to be jitted)."""
         labels_tree = label_params(state["params"])
 
-        def loss_fn(params):
-            outs, mut = self.model.apply(
-                {"params": params, "batch_stats": state["batch_stats"]},
+        def fwd(params, batch_stats, images):
+            return self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
                 images, True, mutable=["batch_stats"])
+
+        if self.remat:
+            fwd = jax.checkpoint(fwd)
+
+        def loss_fn(params):
+            outs, mut = fwd(params, state["batch_stats"], images)
             loss, parts = self.loss_from_outputs(outs, labels, lmask)
             return loss, (mut["batch_stats"], parts)
 
