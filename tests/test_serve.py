@@ -1,0 +1,105 @@
+"""Serving layer test: real HTTP server, micro-batched device inference.
+
+New capability vs the reference (SURVEY §1: "no serving layer"). A tiny
+model serves on localhost; concurrent clients post JPEGs and get JSON
+detections back; the batching engine coalesces them into one device
+batch.
+"""
+import json
+import socket
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yolo_continuous_tpu.config.plan import TrainPlan
+from yolo_continuous_tpu.detect_api import Detector
+from yolo_continuous_tpu.serve import make_server
+
+ANCHORS = [[12, 16, 19, 36, 40, 28], [36, 75, 76, 55, 72, 146],
+           [142, 110, 192, 243, 459, 401]]
+
+
+def _tiny_plan():
+    net = {"depth_multiple": 1.0, "width_multiple": 1.0,
+           "backbone": [[-1, 1, "Conv", [8, 3, 2]],
+                        [-1, 1, "Conv", [16, 3, 2]],
+                        [-1, 1, "Conv", [16, 3, 2]],
+                        [-1, 1, "Conv", [32, 3, 2]],
+                        [-1, 1, "Conv", [64, 3, 2]]],
+           "head": [[[2, 3, 4], 1, "Detect", ["nc", "anchors"]]]}
+    return TrainPlan({
+        "device": "cpu", "train": "x", "val": "x", "epochs": 1,
+        "batch_size": 2, "image_size": 64, "image_chan": 3, "enhance": True,
+        "shuffle": True, "pin_memory": False, "drop_last": False,
+        "workers": 0, "labels": ["a", "b"],
+        "enhance_cfg": "cfg/enhance/enhance.yaml", "model_cfg": net,
+        "anchors": ANCHORS, "anchors_mask": [[6, 7, 8], [3, 4, 5], [0, 1, 2]],
+        "adam": True, "decay": "Cosine", "lrI": 0.001, "lrF": 0.1,
+        "momentum": 0.9, "weight_decay": 0.0, "warmup": False,
+        "warmup_epochs": 1, "warmup_max_iter": 1, "warmup_momentum": 0.8,
+        "warmup_bias_lr": 0.1, "focal_gamma": 1.5, "focal_alpha": 0.25,
+        "resume": False, "save_dir": "/tmp", "save_name": "serve_t",
+        "max_boxes": 8,
+    })
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+def test_serve_http_roundtrip():
+    cv2 = pytest.importorskip("cv2")
+    plan = _tiny_plan()
+    plan.save_path = "/nonexistent/x.msgpack"    # random weights are fine
+    det = Detector(plan, dtype=jnp.float32)
+    port = _free_port()
+    srv = make_server(plan, port=port, batch_size=4, max_wait_ms=20.0,
+                      conf=0.0, nms=0.5, detector=det)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and health["batch"] == 4
+
+        img = np.full((48, 80, 3), 120, np.uint8)
+        cv2.rectangle(img, (10, 10), (40, 35), (230, 40, 40), -1)
+        ok, enc = cv2.imencode(".jpg", img)
+        assert ok
+
+        results = []
+
+        def post():
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/detect", data=enc.tobytes(),
+                headers={"Content-Type": "image/jpeg"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                results.append(json.loads(r.read()))
+
+        threads = [threading.Thread(target=post) for _ in range(3)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=180)
+        assert len(results) == 3
+        for res in results:
+            assert set(res) == {"boxes", "scores", "classes", "labels"}
+            assert len(res["boxes"]) == len(res["scores"]) \
+                == len(res["classes"]) == len(res["labels"])
+            for b in res["boxes"]:           # original-image pixel coords
+                assert len(b) == 4
+        # identical inputs -> identical outputs (batched together or not)
+        assert results[0] == results[1] == results[2]
+    finally:
+        srv.shutdown()
+        srv.engine.close()
