@@ -173,7 +173,39 @@ def cmd_report(d):
                   "jitter/flip-LR/HSV (yolo_dataset_git.py:101) — the A/B "
                   "matches recipes; (2) bf16 head logits cost ~0.05 mAP@0.5, "
                   "hence the fp32-head default (nn/builder.py head_dtype).",
-                  ""]
+                  "",
+                  "The heavy-augmentation row exercises the full on-device "
+                  "mosaic/mixup/perspective pipeline end-to-end (the "
+                  "voc_train.yaml recipe); it scores lower here because 240 "
+                  "clean synthetic images over 60 epochs is an "
+                  "over-augmentation regime — and shear/perspective warps "
+                  "genuinely blur this task's class boundary (a sheared "
+                  "rectangle resembles a diamond). The row's purpose is "
+                  "pipeline proof, not a recipe recommendation.",
+                  "",
+                  "## Note on LogitConv vs full-fp32 head convs",
+                  "",
+                  "Training with explicit `LogitConv` heads (bf16 MXU "
+                  "multiplies + fp32 accumulation, `nn/layers.py`) produced "
+                  "a checkpoint BYTE-IDENTICAL (same md5) to training with "
+                  "fp32 `nn.Conv` heads on bf16 inputs: XLA's default TPU "
+                  "precision already lowers an fp32 conv to single-pass "
+                  "bf16 multiplies with fp32 accumulation. The whole mAP "
+                  "gap between 'fp32 heads' and 'pure-bf16 heads' is "
+                  "therefore ONE rounding: casting the logits to bf16. At "
+                  "INFERENCE that rounding is free (identical mAP serving "
+                  "a trained model with bf16 logits) — hence "
+                  "`Detector(head_dtype=bfloat16)` is the serve "
+                  "configuration benchmarked by bench.py.",
+                  "",
+                  "## Reproduce",
+                  "",
+                  "```",
+                  "python scripts/parity_ab.py all   "
+                  "# gen + train both + eval + report",
+                  "```",
+                  "(torch side ~55 min on a 1-core host; ours ~35 min on "
+                  "one TPU chip)", ""]
     out = os.path.join(repo, "PARITY_AB.md")
     with open(out, "w") as f:
         f.write("\n".join(lines))
