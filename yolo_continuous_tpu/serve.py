@@ -102,32 +102,36 @@ class BatchingEngine:
                 batch = self._drain()
             except Exception:
                 continue
-            n = len(batch)
-            imgs = np.zeros((self.batch_size, *self.size, 3), np.float32)
-            for i, p in enumerate(batch):
-                imgs[i] = p.image
-            boxes, scores, classes, valid = self.det(
-                jnp.asarray(imgs), self.conf, self.nms, self.max_det)
-            boxes = np.asarray(boxes)
-            scores = np.asarray(scores)
-            classes = np.asarray(classes)
-            valid = np.asarray(valid)
-            labels = self.det.plan.labels
-            for i, p in enumerate(batch):
-                m = valid[i]
-                mapped = np.asarray(self._correct(
-                    jnp.asarray(boxes[i]), self.size, p.shape, True))
-                xyxy = mapped[:, [1, 0, 3, 2]][m]
-                cls = classes[i][m].astype(int)
-                p.result = {
-                    "boxes": [[float(v) for v in b] for b in xyxy],
-                    "scores": [float(s) for s in scores[i][m]],
-                    "classes": [int(c) for c in cls],
-                    "labels": [labels[c] if 0 <= c < len(labels) else str(c)
-                               for c in cls],
-                }
-                p.event.set()
-            del n
+            try:
+                imgs = np.zeros((self.batch_size, *self.size, 3), np.float32)
+                for i, p in enumerate(batch):
+                    imgs[i] = p.image
+                boxes, scores, classes, valid = self.det(
+                    jnp.asarray(imgs), self.conf, self.nms, self.max_det)
+                boxes = np.asarray(boxes)
+                scores = np.asarray(scores)
+                classes = np.asarray(classes)
+                valid = np.asarray(valid)
+                labels = self.det.plan.labels
+                for i, p in enumerate(batch):
+                    m = valid[i]
+                    mapped = np.asarray(self._correct(
+                        jnp.asarray(boxes[i]), self.size, p.shape, True))
+                    xyxy = mapped[:, [1, 0, 3, 2]][m]
+                    cls = classes[i][m].astype(int)
+                    p.result = {
+                        "boxes": [[float(v) for v in b] for b in xyxy],
+                        "scores": [float(s) for s in scores[i][m]],
+                        "classes": [int(c) for c in cls],
+                        "labels": [labels[c] if 0 <= c < len(labels)
+                                   else str(c) for c in cls],
+                    }
+            except Exception as e:      # a bad batch must not kill serving
+                for p in batch:
+                    p.result = {"error": f"{type(e).__name__}: {e}"}
+            finally:
+                for p in batch:
+                    p.event.set()
 
     def close(self):
         self._stop.set()
@@ -178,7 +182,7 @@ def make_server(plan, host: str = "127.0.0.1", port: int = 8100,
             if res is None:
                 self._json(503, {"error": "timeout"})
                 return
-            self._json(200, res)
+            self._json(500 if "error" in res else 200, res)
 
     srv = ThreadingHTTPServer((host, port), Handler)
     srv.engine = engine
