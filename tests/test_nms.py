@@ -97,3 +97,19 @@ def test_yolo_correct_boxes_letterbox():
     # output is y1,x1,y2,x2 scaled by the original image shape
     # (detect.py:147-165): center (0.5,0.5), hw=(0.25,1.0) after unmap
     np.testing.assert_allclose(out, [[480, 0, 800, 640]], atol=1e-2)
+
+
+def test_yolo_correct_boxes_np_matches_device():
+    """Host numpy twin (serving path) vs the jitted device version,
+    batched over heterogeneous original shapes."""
+    from yolo_continuous_tpu.ops.nms import yolo_correct_boxes_np
+
+    rs = np.random.RandomState(3)
+    boxes = rs.rand(4, 7, 4).astype(np.float32)
+    boxes[..., 2:] = boxes[..., :2] + boxes[..., 2:] * 0.3
+    shapes = [(480, 640), (640, 640), (1280, 720), (97, 311)]
+    got = yolo_correct_boxes_np(boxes, (320, 320), shapes, True)
+    for i, shp in enumerate(shapes):
+        want = np.asarray(
+            yolo_correct_boxes(jnp.asarray(boxes[i]), (320, 320), shp, True))
+        np.testing.assert_allclose(got[i], want, rtol=1e-5, atol=1e-3)

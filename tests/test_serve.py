@@ -8,6 +8,7 @@ batch.
 import json
 import socket
 import threading
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -103,3 +104,91 @@ def test_serve_http_roundtrip():
     finally:
         srv.shutdown()
         srv.engine.close()
+
+
+class _FlakyDetector:
+    """Delegates to a real Detector but raises on chosen calls."""
+
+    def __init__(self, det, fail_first=1):
+        self._det = det
+        self.plan = det.plan
+        self.calls = 0
+        self._fail_first = fail_first
+
+    def __call__(self, *a, **k):
+        self.calls += 1
+        if self.calls <= self._fail_first:
+            raise RuntimeError("injected batch failure")
+        return self._det(*a, **k)
+
+
+def test_serve_batch_failure_isolated():
+    """A batch that raises must produce error JSON + 500 for ITS requests
+    only; the worker thread survives and the NEXT request succeeds
+    (serve.py _loop's except path)."""
+    cv2 = pytest.importorskip("cv2")
+    plan = _tiny_plan()
+    plan.save_path = "/nonexistent/x.msgpack"
+    det = _FlakyDetector(Detector(plan, dtype=jnp.float32), fail_first=1)
+    port = _free_port()
+    # warmup=False so the injected failure hits the first REQUEST batch,
+    # not the construction-time warm batch
+    srv = make_server(plan, port=port, batch_size=2, max_wait_ms=5.0,
+                      conf=0.0, nms=0.5, detector=det, warmup=False)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        img = np.full((32, 32, 3), 90, np.uint8)
+        ok, enc = cv2.imencode(".jpg", img)
+        assert ok
+
+        def post():
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/detect", data=enc.tobytes(),
+                headers={"Content-Type": "image/jpeg"})
+            try:
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        code, body = post()          # first batch -> injected failure
+        assert code == 500
+        assert "injected batch failure" in body["error"]
+
+        code, body = post()          # worker survived; next batch is fine
+        assert code == 200
+        assert set(body) == {"boxes", "scores", "classes", "labels"}
+    finally:
+        srv.shutdown()
+        srv.engine.close()
+
+
+def test_submit_timeout_returns_none():
+    """submit() must give up after the engine's submit_timeout (503 at
+    the HTTP layer) when the device side stalls."""
+    import time
+
+    from yolo_continuous_tpu.serve import BatchingEngine
+
+    plan = _tiny_plan()
+    plan.save_path = "/nonexistent/x.msgpack"
+    real = Detector(plan, dtype=jnp.float32)
+
+    class _Stalling:
+        plan = real.plan
+
+        def __call__(self, *a, **k):
+            time.sleep(2.0)
+            return real(*a, **k)
+
+    eng = BatchingEngine(_Stalling(), batch_size=1, max_wait_ms=1.0,
+                         conf=0.0, nms=0.5, submit_timeout=0.2,
+                         warmup=False)
+    try:
+        t0 = time.monotonic()
+        res = eng.submit(np.full((16, 16, 3), 80, np.uint8))
+        assert res is None                      # timed out, not hung
+        assert time.monotonic() - t0 < 1.5
+    finally:
+        eng.close()

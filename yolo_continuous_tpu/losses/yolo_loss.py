@@ -252,6 +252,11 @@ def yolo_loss(
                 t, m, h, w, anchors_f, cfg.threshold, g))
             gt_idx, a_idx, gi, gj, mask = gen(targets, tmask)
             gp = gather_preds[i]
+            # the gather indices below are built on the LEAD grid (h, w);
+            # an aux map with a different grid would silently read wrong
+            # cells — fail loudly instead (IAuxDetect shares lead strides)
+            assert gp.shape[1:3] == (h, w), (
+                f"level {i}: gather map grid {gp.shape[1:3]} != lead ({h}, {w})")
             na = gp.shape[3]
             flat = gp.reshape(bs, h * w * na, gp.shape[-1])
             idx = (gj * w + gi) * na + a_idx

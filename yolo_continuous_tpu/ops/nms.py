@@ -162,6 +162,36 @@ def batched_nms(
                             _auto_pallas(use_pallas))
 
 
+def yolo_correct_boxes_np(boxes_xyxy, input_shape, image_shapes,
+                          letterbox_image: bool = True):
+    """Host-side (numpy) twin of :func:`yolo_correct_boxes`.
+
+    Pure elementwise math on already-fetched arrays — the serving layer
+    uses this so mapping a whole batch of boxes back to original-image
+    pixels costs ZERO device round trips (each host sync through the
+    TPU tunnel is ~100 ms). Supports batched ``image_shapes``:
+    ``boxes_xyxy`` (..., N, 4) with ``image_shapes`` (..., 2) maps each
+    leading-index slice with its own original (h, w).
+    """
+    import numpy as np
+    boxes_xyxy = np.asarray(boxes_xyxy, np.float32)
+    input_shape = np.asarray(input_shape, np.float32)            # (2,)
+    image_shapes = np.asarray(image_shapes, np.float32)          # (..., 2)
+    img = image_shapes[..., None, :]                             # (..., 1, 2)
+    box_yx = ((boxes_xyxy[..., 0:2] + boxes_xyxy[..., 2:4]) / 2)[..., ::-1]
+    box_hw = (boxes_xyxy[..., 2:4] - boxes_xyxy[..., 0:2])[..., ::-1]
+    if letterbox_image:
+        new_shape = np.round(
+            img * np.min(input_shape / img, axis=-1, keepdims=True))
+        offset = (input_shape - new_shape) / 2.0 / input_shape
+        scale = input_shape / new_shape
+        box_yx = (box_yx - offset) * scale
+        box_hw = box_hw * scale
+    boxes = np.concatenate(
+        [box_yx - box_hw / 2.0, box_yx + box_hw / 2.0], axis=-1)
+    return boxes * np.concatenate([img, img], axis=-1)
+
+
 def yolo_correct_boxes(
     boxes_xyxy: jnp.ndarray,      # (.., 4) normalized x1,y1,x2,y2 in net-input space
     input_shape,                  # (h, w) of the network input

@@ -12,8 +12,16 @@ fixed shapes) into a production-style microservice:
   its throughput lives (MXU utilization rises with batch).
 - **fixed-shape serving**: the device graph is compiled ONCE for
   (batch_size, size, size, 3); partial batches are padded. No
-  per-request recompiles, no dynamic shapes.
-- stdlib only (ThreadingHTTPServer) — no framework dependencies.
+  per-request recompiles, no dynamic shapes — and the engine warms
+  (compiles) that graph at construction, so the first real client
+  never pays the compile inside its request timeout.
+- **one device sync per batch**: the letterbox-inverse box mapping back
+  to original-image pixels runs on host in numpy
+  (``ops.nms.yolo_correct_boxes_np``) — per-request device round trips
+  would serialize ~100 ms tunnel RTTs inside the worker loop.
+- no framework dependencies: stdlib HTTP (ThreadingHTTPServer) + numpy;
+  cv2 is used only to decode request JPEG/PNG bytes (without it the
+  server still runs and returns 503 with an explanatory error).
 
 Endpoints:
     POST /detect   body = JPEG/PNG bytes -> JSON {boxes, scores,
@@ -53,31 +61,42 @@ class BatchingEngine:
     """Coalesces requests into fixed-size device batches."""
 
     def __init__(self, detector, batch_size: int = 8, max_wait_ms: float = 5.0,
-                 conf: float = 0.3, nms: float = 0.45, max_det: int = 100):
+                 conf: float = 0.3, nms: float = 0.45, max_det: int = 100,
+                 submit_timeout: float = 60.0, warmup: bool = True):
         import jax.numpy as jnp
 
-        from .ops.nms import yolo_correct_boxes
+        from .ops.nms import yolo_correct_boxes_np
         from .ops.preprocess import letterbox
 
         self._jnp = jnp
         self._letterbox = letterbox
-        self._correct = yolo_correct_boxes
+        self._correct_np = yolo_correct_boxes_np
         self.det = detector
         self.batch_size = batch_size
         self.max_wait_s = max_wait_ms / 1000.0
         self.conf, self.nms, self.max_det = conf, nms, max_det
+        self.submit_timeout = submit_timeout
         self.size = (detector.plan.image_size, detector.plan.image_size)
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
+        if warmup:
+            # compile the fixed-shape serving graph NOW: a lazy first
+            # compile through the TPU tunnel can exceed any sane client
+            # timeout and turn cold starts into spurious 503s.
+            z = jnp.zeros((self.batch_size, *self.size, 3), jnp.float32)
+            out = self.det(z, self.conf, self.nms, self.max_det)
+            _ = np.asarray(out[3])
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
     # -- client side -----------------------------------------------------
-    def submit(self, rgb: np.ndarray, timeout: float = 30.0) -> Optional[dict]:
+    def submit(self, rgb: np.ndarray,
+               timeout: Optional[float] = None) -> Optional[dict]:
         img, _, _ = self._letterbox(rgb, self.size, (114, 114, 114))
         p = _Pending(np.asarray(img, np.float32) / 255.0, rgb.shape[:2])
         self._q.put(p)
-        if not p.event.wait(timeout):
+        if not p.event.wait(self.submit_timeout if timeout is None
+                            else timeout):
             return None
         return p.result
 
@@ -113,11 +132,14 @@ class BatchingEngine:
                 classes = np.asarray(classes)
                 valid = np.asarray(valid)
                 labels = self.det.plan.labels
+                # letterbox-inverse for the WHOLE batch on host: zero
+                # extra device syncs (each costs a full tunnel RTT)
+                shapes = np.asarray([p.shape for p in batch], np.float32)
+                mapped_all = self._correct_np(
+                    boxes[: len(batch)], self.size, shapes, True)
                 for i, p in enumerate(batch):
                     m = valid[i]
-                    mapped = np.asarray(self._correct(
-                        jnp.asarray(boxes[i]), self.size, p.shape, True))
-                    xyxy = mapped[:, [1, 0, 3, 2]][m]
+                    xyxy = mapped_all[i][:, [1, 0, 3, 2]][m]
                     cls = classes[i][m].astype(int)
                     p.result = {
                         "boxes": [[float(v) for v in b] for b in xyxy],
@@ -140,12 +162,14 @@ class BatchingEngine:
 def make_server(plan, host: str = "127.0.0.1", port: int = 8100,
                 batch_size: int = 8, max_wait_ms: float = 5.0,
                 conf: float = 0.3, nms: float = 0.45,
-                detector=None) -> ThreadingHTTPServer:
+                detector=None, submit_timeout: float = 60.0,
+                warmup: bool = True) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; caller runs serve_forever()."""
     from .detect_api import Detector
 
     det = detector or Detector(plan)
-    engine = BatchingEngine(det, batch_size, max_wait_ms, conf, nms)
+    engine = BatchingEngine(det, batch_size, max_wait_ms, conf, nms,
+                            submit_timeout=submit_timeout, warmup=warmup)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):     # quiet
@@ -169,6 +193,11 @@ def make_server(plan, host: str = "127.0.0.1", port: int = 8100,
         def do_POST(self):
             if self.path != "/detect":
                 self._json(404, {"error": "not found"})
+                return
+            if cv2 is None:
+                self._json(503, {"error": "cv2 is not available: the "
+                                          "server cannot decode image "
+                                          "bytes on this host"})
                 return
             length = int(self.headers.get("Content-Length", 0))
             raw = self.rfile.read(length)
@@ -201,6 +230,8 @@ def main():
     ap.add_argument("--max-wait-ms", type=float, default=5.0)
     ap.add_argument("--conf", type=float, default=0.3)
     ap.add_argument("--nms", type=float, default=0.45)
+    ap.add_argument("--submit-timeout", type=float, default=60.0,
+                    help="seconds a request waits for its batch result")
     ap.add_argument("--device",
                     default=os.environ.get("JAX_PLATFORMS", "").strip())
     args = ap.parse_args()
@@ -211,7 +242,8 @@ def main():
     from .config.plan import TrainPlan, check_file
     plan = TrainPlan(check_file(args.cfg))
     srv = make_server(plan, args.host, args.port, args.batch,
-                      args.max_wait_ms, args.conf, args.nms)
+                      args.max_wait_ms, args.conf, args.nms,
+                      submit_timeout=args.submit_timeout)
     print(f"serving {plan.save_path} on {args.host}:{args.port} "
           f"(batch {args.batch})")
     srv.serve_forever()
