@@ -39,7 +39,8 @@ def _setup_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def bench_train(batch, size=640, iters=20):
+def bench_train(batch, size=640, iters=20, extra_cfg=None,
+                image_dtype="float32"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -52,13 +53,15 @@ def bench_train(batch, size=640, iters=20):
     cfg["image_size"] = size
     cfg["batch_size"] = batch
     cfg["max_boxes"] = 64
+    cfg.update(extra_cfg or {})
     plan = TrainPlan(cfg)
 
     trainer = Trainer(plan)
     state = trainer.init_state(jax.random.PRNGKey(0))
 
     rs = np.random.RandomState(0)
-    images = jnp.asarray(rs.rand(batch, size, size, 3), jnp.float32)
+    images = jnp.asarray(rs.rand(batch, size, size, 3),
+                         getattr(jnp, image_dtype))
     labels = np.zeros((batch, 64, 5), np.float32)
     labels[:, 0] = [1, 0.5, 0.5, 0.4, 0.4]
     labels[:, 1] = [3, 0.3, 0.3, 0.2, 0.25]

@@ -99,6 +99,127 @@ def _gen_image(path, size, rs):
     return boxes
 
 
+CLASSES16 = ["rect", "ellipse", "tri_up", "ring", "cross", "diamond",
+             "star", "semicircle", "lshape", "tshape", "arrow", "hexagon",
+             "xcross", "frame", "tri_down", "twodots"]
+
+
+def _draw_shape16(img, cls, x1, y1, w, h, color, rs):
+    """16-class shape vocabulary for the HARD set (mosaic A/B): returns
+    the tight bbox. Classes 0-5 reuse the 6-class vocabulary."""
+    import cv2
+    if cls < 6:
+        return _draw_shape(img, cls, x1, y1, w, h, color, rs)
+    x2, y2 = x1 + w, y1 + h
+    cx, cy = x1 + w // 2, y1 + h // 2
+    if cls == 6:    # 5-point star
+        pts = []
+        for k in range(10):
+            ang = -math.pi / 2 + k * math.pi / 5
+            r_w = (w / 2) if k % 2 == 0 else (w / 4.5)
+            r_h = (h / 2) if k % 2 == 0 else (h / 4.5)
+            pts.append([cx + r_w * math.cos(ang), cy + r_h * math.sin(ang)])
+        cv2.fillPoly(img, [np.asarray(pts, np.int32)], color)
+    elif cls == 7:  # semicircle, flat side down
+        cv2.ellipse(img, (cx, y2), (w // 2, h), 0, 180, 360, color, -1)
+    elif cls == 8:  # L-shape
+        t_w, t_h = max(2, w // 3), max(2, h // 3)
+        cv2.rectangle(img, (x1, y1), (x1 + t_w, y2), color, -1)
+        cv2.rectangle(img, (x1, y2 - t_h), (x2, y2), color, -1)
+    elif cls == 9:  # T-shape
+        t_w, t_h = max(2, w // 3), max(2, h // 3)
+        cv2.rectangle(img, (x1, y1), (x2, y1 + t_h), color, -1)
+        cv2.rectangle(img, (cx - t_w // 2, y1), (cx + t_w // 2, y2), color, -1)
+    elif cls == 10:  # right-pointing arrow
+        t_h = max(2, h // 3)
+        hx = x1 + w // 2
+        cv2.rectangle(img, (x1, cy - t_h // 2), (hx, cy + t_h // 2), color, -1)
+        pts = np.array([[hx, y1], [x2, cy], [hx, y2]], np.int32)
+        cv2.fillPoly(img, [pts], color)
+    elif cls == 11:  # hexagon
+        pts = np.array([[x1 + w // 4, y1], [x1 + 3 * w // 4, y1], [x2, cy],
+                        [x1 + 3 * w // 4, y2], [x1 + w // 4, y2], [x1, cy]],
+                       np.int32)
+        cv2.fillPoly(img, [pts], color)
+    elif cls == 12:  # diagonal X
+        t = max(2, min(w, h) // 4)
+        cv2.line(img, (x1, y1), (x2, y2), color, t)
+        cv2.line(img, (x1, y2), (x2, y1), color, t)
+    elif cls == 13:  # rectangular frame (outline-only rect)
+        t = max(2, min(w, h) // 5)
+        cv2.rectangle(img, (x1, y1), (x2, y2), color, t)
+    elif cls == 14:  # triangle, apex at bottom
+        ax = x1 + rs.randint(w // 4, max(3 * w // 4, w // 4 + 1))
+        pts = np.array([[x1, y1], [x2, y1], [ax, y2]], np.int32)
+        cv2.fillPoly(img, [pts], color)
+    else:           # two tangent filled ellipses, side by side
+        rw = max(2, w // 4)
+        cv2.ellipse(img, (x1 + rw, cy), (rw, h // 2), 0, 0, 360, color, -1)
+        cv2.ellipse(img, (x2 - rw, cy), (rw, h // 2), 0, 0, 360, color, -1)
+    return x1, y1, x2, y2
+
+
+def _gen_image_hard(path, size, rs, n_classes=16):
+    """Harder image for the mosaic A/B: many SMALL objects (log-uniform
+    ~10..90 px with a 15% large tail), 3..12 objects, clutter — the
+    low-data/small-object regime mosaic was invented for."""
+    import cv2
+    g0, g1 = rs.randint(60, 110), rs.randint(110, 190)
+    ramp = np.linspace(g0, g1, size, dtype=np.float32)
+    img = np.broadcast_to(ramp[None, :] if rs.rand() < 0.5 else ramp[:, None],
+                          (size, size)).copy()
+    img = np.repeat(img[..., None], 3, -1)
+    img += rs.randn(size, size, 3) * 8
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    for _ in range(rs.randint(4, 12)):  # distractor dots below min obj size
+        cv2.circle(img, (rs.randint(0, size), rs.randint(0, size)),
+                   rs.randint(1, 5), _rand_color(rs), -1)
+
+    boxes = []
+    for _ in range(rs.randint(3, 13)):
+        for _try in range(40):
+            if rs.rand() < 0.15:
+                s = math.exp(rs.uniform(math.log(90), math.log(170)))
+            else:
+                s = math.exp(rs.uniform(math.log(10), math.log(90)))
+            ar = math.exp(rs.uniform(math.log(0.6), math.log(1.7)))
+            w = int(np.clip(s * math.sqrt(ar), 9, size - 2))
+            h = int(np.clip(s / math.sqrt(ar), 9, size - 2))
+            x1 = rs.randint(0, size - w)
+            y1 = rs.randint(0, size - h)
+            cand = (x1, y1, x1 + w, y1 + h)
+            if all(_iou_xyxy(cand, b[:4]) < 0.25 for b in boxes):
+                break
+        else:
+            continue
+        cls = rs.randint(0, n_classes)
+        bb = _draw_shape16(img, cls, x1, y1, w, h, _rand_color(rs), rs)
+        boxes.append((*bb, cls))
+    cv2.imwrite(path, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    return boxes
+
+
+def make_hard_dataset(outdir, n_train=1200, n_val=240, size=320, seed=0):
+    """16-class small-object set in the reference annotation format."""
+    os.makedirs(outdir, exist_ok=True)
+    rs = np.random.RandomState(seed)
+    anns = {}
+    for split, n in (("train", n_train), ("val", n_val)):
+        lines = []
+        for i in range(n):
+            p = os.path.join(outdir, f"{split}{i}.jpg")
+            boxes = _gen_image_hard(p, size, rs)
+            while not boxes:
+                boxes = _gen_image_hard(p, size, rs)
+            lines.append(p + " " + " ".join(
+                f"{b[0]},{b[1]},{b[2]},{b[3]},{b[4]}" for b in boxes) + "\n")
+        ann = os.path.join(outdir, f"{split}.txt")
+        with open(ann, "w") as f:
+            f.writelines(lines)
+        anns[split] = ann
+    return anns["train"], anns["val"]
+
+
 def make_dataset(outdir, n_train=240, n_val=60, size=320, seed=0):
     os.makedirs(outdir, exist_ok=True)
     rs = np.random.RandomState(seed)

@@ -59,3 +59,79 @@ def test_dryrun_entrypoint():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")
     ge.dryrun_multichip(8)
+
+
+def test_dp_width_loss_equality(mesh8):
+    """Same global batch, data-parallel widths {1,2,4,8}: the production
+    jitted train step must produce the SAME loss and updated params at
+    every width (GSPMD regressions show up as math, not luck). Extends
+    tests/test_distributed.py's 2-process check across mesh widths."""
+    import yaml
+
+    from yolo_continuous_tpu.config.plan import TrainPlan
+    from yolo_continuous_tpu.parallel.mesh import shard_params
+    from yolo_continuous_tpu.train.train_loop import Trainer
+
+    net = {"depth_multiple": 1.0, "width_multiple": 1.0,
+           "backbone": [[-1, 1, "Conv", [8, 3, 2]],
+                        [-1, 1, "Conv", [16, 3, 2]],
+                        [-1, 1, "Conv", [16, 3, 2]],
+                        [-1, 1, "Conv", [32, 3, 2]],
+                        [-1, 1, "Conv", [64, 3, 2]]],
+           "head": [[[2, 3, 4], 1, "Detect", ["nc", "anchors"]]]}
+    anchors = [[12, 16, 19, 36, 40, 28], [36, 75, 76, 55, 72, 146],
+               [142, 110, 192, 243, 459, 401]]
+    cfg = dict(device="cpu", train="x", val="x", epochs=1, batch_size=8,
+               image_size=64, image_chan=3, enhance=True, shuffle=True,
+               pin_memory=False, drop_last=False, workers=0,
+               labels=["a", "b"], model_cfg=net, anchors=anchors,
+               anchors_mask=[[6, 7, 8], [3, 4, 5], [0, 1, 2]],
+               enhance_cfg="cfg/enhance/enhance.yaml",
+               adam=True, decay="Cosine", lrI=0.001, lrF=0.1, momentum=0.9,
+               weight_decay=0.0005, warmup=False, warmup_epochs=1,
+               warmup_max_iter=1, warmup_momentum=0.8, warmup_bias_lr=0.1,
+               focal_gamma=1.5, focal_alpha=0.25, resume=False,
+               save_dir="/tmp", save_name="dpw", max_boxes=8)
+
+    rs = np.random.RandomState(5)
+    B, S, MB = 8, 64, 8
+    images = jnp.asarray(rs.rand(B, S, S, 3), jnp.float32)
+    labels = np.zeros((B, MB, 5), np.float32)
+    labels[:, 0] = [1, 0.5, 0.5, 0.4, 0.4]
+    labels[:, 1] = [0, 0.3, 0.3, 0.2, 0.25]
+    lmask = np.zeros((B, MB), bool)
+    lmask[:, :2] = True
+    labels, lmask = jnp.asarray(labels), jnp.asarray(lmask)
+
+    results = {}
+    for width in (1, 2, 4, 8):
+        mesh = make_mesh(width, 1)
+        plan = TrainPlan(dict(cfg))
+        tr = Trainer(plan, mesh=mesh, dtype=jnp.float32)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        state = {"params": shard_params(mesh, state["params"], 1 << 30),
+                 "batch_stats": shard_params(mesh, state["batch_stats"],
+                                             1 << 30),
+                 "opt": shard_params(mesh, state["opt"], 1 << 30),
+                 "ema": state["ema"], "step": state["step"]}
+        batch = shard_batch(mesh, {"images": images, "labels": labels,
+                                   "lmask": lmask})
+        step = tr.jitted_train_step()
+        with mesh:
+            new_state, metrics = step(state, batch["images"],
+                                      batch["labels"], batch["lmask"],
+                                      0.01, 0.1, 0.9)
+            loss = float(metrics["loss"])
+            leaf = np.asarray(jax.tree_util.tree_leaves(
+                new_state["params"])[0])
+        results[width] = (loss, leaf)
+
+    base_loss, base_leaf = results[1]
+    assert np.isfinite(base_loss)
+    for width in (2, 4, 8):
+        loss, leaf = results[width]
+        # identical math up to cross-device reduction reassociation
+        np.testing.assert_allclose(loss, base_loss, rtol=2e-5,
+                                   err_msg=f"width {width}")
+        np.testing.assert_allclose(leaf, base_leaf, rtol=1e-4, atol=1e-6,
+                                   err_msg=f"width {width}")

@@ -89,6 +89,95 @@ def pallas_suppress(boxes: jnp.ndarray, classes: jnp.ndarray,
     return keep[:k, 0] > 0
 
 
+def _hit_kernel(tile: int, boxes_ref, classes_ref, keep_ref, thr_ref,
+                hit_ref):
+    """One row-tile sweep of the fixpoint: hit[j] |= any_i in tile
+    (sup[i, j] & keep[i]).
+
+    boxes (K,4) f32, classes (K,1) i32, keep (K,1) f32 all FULL in VMEM
+    (K*4 floats — tiny); the (tile, K) suppression tile is recomputed
+    from boxes on the fly, so VMEM holds tile*K floats instead of the
+    K*K matrix that caps the single-block kernel at K~1024.
+    """
+    i = pl.program_id(0)
+    k = boxes_ref.shape[0]
+    r = pl.ds(i * tile, tile)
+    x1r, y1r = boxes_ref[r, 0:1], boxes_ref[r, 1:2]       # (T,1)
+    x2r, y2r = boxes_ref[r, 2:3], boxes_ref[r, 3:4]
+    x1c, y1c = boxes_ref[:, 0:1].T, boxes_ref[:, 1:2].T   # (1,K)
+    x2c, y2c = boxes_ref[:, 2:3].T, boxes_ref[:, 3:4].T
+    inter = (jnp.clip(jnp.minimum(x2r, x2c) - jnp.maximum(x1r, x1c), 0.0, None)
+             * jnp.clip(jnp.minimum(y2r, y2c) - jnp.maximum(y1r, y1c),
+                        0.0, None))
+    area_r = (x2r - x1r) * (y2r - y1r)
+    area_c = (x2c - x1c) * (y2c - y1c)
+    iou = inter / (area_r + area_c - inter + 1e-9)        # (T,K)
+
+    same = classes_ref[r, 0:1] == classes_ref[:, 0:1].T
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile, k), 1)
+    row = i * tile + jax.lax.broadcasted_iota(jnp.int32, (tile, k), 0)
+    sup = (iou > thr_ref[0, 0]) & same & (col > row)      # (T,K)
+    partial = jnp.max(jnp.where(sup, keep_ref[r, 0:1], 0.0),
+                      axis=0, keepdims=True)              # (1,K)
+
+    @pl.when(i == 0)
+    def _init():
+        hit_ref[:, :] = jnp.zeros_like(hit_ref)
+
+    hit_ref[:, :] = jnp.maximum(hit_ref[:, :], partial)
+
+
+@partial(jax.jit, static_argnames=("tile", "interpret"))
+def pallas_suppress_tiled(boxes: jnp.ndarray, classes: jnp.ndarray,
+                          valid: jnp.ndarray, iou_thres, tile: int = 256,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Row-tiled fixpoint NMS suppression — exact greedy keep-set for K
+    beyond the single-VMEM-block limit (tested at K=4096).
+
+    The dataflow fixpoint of ``ops.nms._fixpoint_suppress``:
+    ``keep_{t+1}[j] = valid[j] & !any_i(sup[i,j] & keep_t[i])``
+    converges to the sequential greedy keep-set in (suppression-chain
+    depth + 1) sweeps. Each sweep is ONE pallas_call whose grid walks
+    row tiles sequentially, recomputing the (tile, K) IoU block in VMEM
+    — no (K, K) materialization anywhere.
+    """
+    k = boxes.shape[0]
+    kp = -(-k // max(tile, 128)) * max(tile, 128)
+    if kp != k:
+        boxes = jnp.pad(boxes, ((0, kp - k), (0, 0)))
+        classes = jnp.pad(classes, (0, kp - k), constant_values=-1)
+        valid = jnp.pad(valid, (0, kp - k))
+    boxes = boxes.astype(jnp.float32)
+    classes2 = classes.astype(jnp.int32).reshape(kp, 1)
+    thr = jnp.asarray(iou_thres, jnp.float32).reshape(1, 1)
+
+    sweep = pl.pallas_call(
+        partial(_hit_kernel, tile),
+        grid=(kp // tile,),
+        out_shape=jax.ShapeDtypeStruct((1, kp), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )
+
+    def cond(carry):
+        keep, prev, it = carry
+        return (it < kp) & jnp.any(keep != prev)
+
+    def body(carry):
+        keep, prev, it = carry
+        hit = sweep(boxes, classes2,
+                    keep.astype(jnp.float32).reshape(kp, 1), thr)[0] > 0.5
+        return valid & ~hit, keep, it + 1
+
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (valid, jnp.zeros_like(valid), jnp.int32(0)))
+    return keep[:k]
+
+
 def nms_single_pallas(pred: jnp.ndarray, conf_thres: float = 0.5,
                       iou_thres: float = 0.4, max_det: int = 300,
                       interpret: bool = False):

@@ -98,9 +98,15 @@ def _nms_core(pred, conf_thres, iou_thres, max_det, per_class, use_pallas):
     classes = cls_id[top_idx]
 
     if use_pallas:
-        from ..kernels.nms_pallas import pallas_suppress
+        from ..kernels.nms_pallas import pallas_suppress, pallas_suppress_tiled
         classes_for_sup = classes if per_class else jnp.zeros_like(classes)
-        keep = pallas_suppress(boxes, classes_for_sup, valid, iou_thres)
+        if k > 1024:
+            # single-VMEM-block (K,K) matrix caps the in-kernel greedy
+            # at K~1024; beyond that, the row-tiled fixpoint kernel
+            keep = pallas_suppress_tiled(boxes, classes_for_sup, valid,
+                                         iou_thres)
+        else:
+            keep = pallas_suppress(boxes, classes_for_sup, valid, iou_thres)
     else:
         iou = box_iou(boxes, boxes)
         same_class = (classes[:, None] == classes[None, :]) if per_class \

@@ -44,6 +44,33 @@ def default_dtype():
     return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
 
+def remat_policy(name):
+    """Named selective-rematerialization policies for the ``remat`` plan
+    key. ``True``/"full" recomputes the WHOLE forward in the backward
+    (measured 87 vs 160 img/s at yolov7@640 — a memory knob, not a speed
+    knob). The selective policies keep the expensive MXU results and
+    recompute only cheap fused elementwise tails, trading spare MXU
+    FLOPs for HBM activation traffic (the step is bandwidth-bound,
+    README roofline):
+
+    - "conv": save conv/matmul outputs; recompute BN/activation/concat
+      tails in the backward.
+    - "dots": jax's dots_with_no_batch_dims policy (matmuls only; convs
+      recompute — usually too aggressive for a conv net, kept for
+      measurement).
+    """
+    if name in (True, "full"):
+        return None                      # jax.checkpoint default: save nothing
+    if name == "conv":
+        def policy(prim, *_, **__):
+            return prim.name in ("conv_general_dilated", "dot_general")
+        return policy
+    if name == "dots":
+        return jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims
+    raise ValueError(f"unknown remat policy {name!r} "
+                     "(use True/'full', 'conv' or 'dots')")
+
+
 class Trainer:
     """Builds the model/loss/optimizer from a TrainPlan and runs training."""
 
@@ -117,7 +144,7 @@ class Trainer:
                 images, True, mutable=["batch_stats"])
 
         if self.remat:
-            fwd = jax.checkpoint(fwd)
+            fwd = jax.checkpoint(fwd, policy=remat_policy(self.remat))
 
         def loss_fn(params):
             outs, mut = fwd(params, state["batch_stats"], images)
