@@ -28,6 +28,10 @@ import sys
 import time
 
 REF_GPU_TRAIN_IPS = 55.0
+# measured on THIS host (scripts/ref_cpu_bench.py, BASELINE.md): the
+# unmodified torch reference train step, yolov7 @640 — a second, honest
+# anchor for the ratio (the 55 GPU-normalized stand-in stays primary)
+REF_CPU_MEASURED_IPS = 0.21
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/xla_bench_cache")
 
@@ -169,6 +173,8 @@ def main():
         "train_sweep": {str(k): v for k, v in sweep.items()},
         "infer_img_s": round(infer_ips, 2),
         "nms_p50_ms": round(nms_p50, 3),
+        "ref_cpu_measured_img_s": REF_CPU_MEASURED_IPS,
+        "vs_ref_cpu_measured": round(ips / REF_CPU_MEASURED_IPS, 1),
     }))
 
 

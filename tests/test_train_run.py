@@ -183,3 +183,32 @@ def test_remat_step_matches_plain(tiny_dataset, tmp_path):
     (l0, p0), (l1, p1) = outs
     assert abs(l0 - l1) < 1e-5 * max(1.0, abs(l0))
     assert abs(p0 - p1) < 1e-4 * max(1.0, abs(p0))
+
+
+@pytest.mark.parametrize("mode", ["conv", "dots", True])
+def test_remat_policies_are_identity(mode, tiny_dataset, tmp_path):
+    """Selective rematerialization must not change the math: one train
+    step with each remat policy produces the same loss and updated
+    params as the un-rematerialized step."""
+    plan = _plan(tiny_dataset, tmp_path)
+
+    rs = np.random.RandomState(1)
+    images = jnp.asarray(rs.rand(2, 64, 64, 3), jnp.float32)
+    labels = np.zeros((2, 8, 5), np.float32)
+    labels[:, 0] = [0, 0.5, 0.5, 0.4, 0.4]
+    lmask = np.zeros((2, 8), bool)
+    lmask[:, 0] = True
+    labels, lmask = jnp.asarray(labels), jnp.asarray(lmask)
+
+    def one_step(remat):
+        tr = Trainer(plan, dtype=jnp.float32, remat=remat)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        new_state, metrics = tr.jitted_train_step()(
+            state, images, labels, lmask, 0.01, 0.1, 0.9)
+        return (float(metrics["loss"]),
+                np.asarray(jax.tree_util.tree_leaves(new_state["params"])[0]))
+
+    base_loss, base_leaf = one_step(False)
+    loss, leaf = one_step(mode)
+    np.testing.assert_allclose(loss, base_loss, rtol=1e-6)
+    np.testing.assert_allclose(leaf, base_leaf, rtol=1e-5, atol=1e-7)
