@@ -210,3 +210,54 @@ def test_equalize_gated_in_batch_graph():
                                cfg=base._replace(equalize=1.0),
                                max_gt=MB, train=True)
     assert np.abs(np.asarray(img0) - np.asarray(img1)).max() > 0.01
+
+
+def test_mixup_partner_is_single_augment():
+    """Mixup must blend with the neighbor's SINGLE-image augment (the
+    reference draws one fresh image, yolo_dataset_git.py:59-62) — not the
+    neighbor's mosaic composite (two-mosaic blends produce ~80-box
+    0.5-alpha supervision the reference never trains on)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yolo_continuous_tpu.ops.augment import (AugConfig, augment_batch,
+                                                 augment_single)
+
+    S, MB, B = 64, 6, 2
+    rs = np.random.RandomState(0)
+    tiles = rs.randint(0, 255, (B, 4, S, S, 3)).astype(np.uint8)
+    metas = np.tile(np.asarray([S, S, 1.0, 0.0, 0.0], np.float32), (B, 4, 1))
+    boxes = np.zeros((B, 4, MB, 5), np.float32)
+    masks = np.zeros((B, 4, MB), bool)
+    for b in range(B):
+        for t in range(4):
+            boxes[b, t, 0] = [5, 5, 30, 30, 1]
+            boxes[b, t, 1] = [35, 35, 60, 60, 2]
+            masks[b, t, :2] = True
+    cfg = AugConfig(size=S, hue=0, sat=0, val=0)
+    key = jax.random.PRNGKey(42)
+
+    both_mosaic = jnp.asarray([True, True])
+    mix_on = jnp.asarray([False, True])
+    mix_off = jnp.asarray([False, False])
+    args = (jnp.asarray(tiles), jnp.asarray(metas), jnp.asarray(boxes),
+            jnp.asarray(masks))
+    imgs_mix, _, _ = augment_batch(key, *args, both_mosaic, mix_on,
+                                   cfg=cfg, max_gt=64, train=True)
+    imgs_nomix, _, _ = augment_batch(key, *args, both_mosaic, mix_off,
+                                     cfg=cfg, max_gt=64, train=True)
+
+    # expected partner: sample 0's SINGLE-path augment (key path mirrors
+    # augment_batch: per-sample key -> split(k, 3)[1])
+    k0 = jax.random.split(key, B)[0]
+    _, k2, _ = jax.random.split(k0, 3)
+    partner, _, _ = augment_single(k2, jnp.asarray(tiles[0, 0], jnp.float32),
+                                   jnp.asarray(metas[0, 0]),
+                                   jnp.asarray(boxes[0, 0]),
+                                   jnp.asarray(masks[0, 0]), cfg)
+    want = np.asarray(imgs_nomix[1]) * 0.5 + np.asarray(partner) / 255.0 * 0.5
+    np.testing.assert_allclose(np.asarray(imgs_mix[1]), want, atol=1e-4)
+    # sample 0 (mixup off) untouched
+    np.testing.assert_allclose(np.asarray(imgs_mix[0]),
+                               np.asarray(imgs_nomix[0]), atol=1e-6)

@@ -431,22 +431,35 @@ def augment_batch(
         if T == 1:
             # single-tile batches (mosaic disabled at the loader): skip the
             # mosaic branch entirely — 4x less host->device traffic
-            return _post_enhance(kx, s_img, s_bx, s_bm, cfg)
+            img, bx, bm = _post_enhance(kx, s_img, s_bx, s_bm, cfg)
+            return img, bx, bm, s_img, s_bx, s_bm
         m_img, m_bx, m_bm = augment_mosaic(k1, tile4, meta4, box4, bm4, cfg)
         pad = m_bx.shape[0] - s_bx.shape[0]
-        s_bx = jnp.pad(s_bx, ((0, pad), (0, 0)))
-        s_bm = jnp.pad(s_bm, (0, pad))
+        s_bx_p = jnp.pad(s_bx, ((0, pad), (0, 0)))
+        s_bm_p = jnp.pad(s_bm, (0, pad))
         img = jnp.where(use_mosaic, m_img, s_img)
-        bx = jnp.where(use_mosaic, m_bx, s_bx)
-        bm = jnp.where(use_mosaic, m_bm, s_bm)
-        return _post_enhance(kx, img, bx, bm, cfg)
+        bx = jnp.where(use_mosaic, m_bx, s_bx_p)
+        bm = jnp.where(use_mosaic, m_bm, s_bm_p)
+        img, bx, bm = _post_enhance(kx, img, bx, bm, cfg)
+        return img, bx, bm, s_img, s_bx, s_bm
 
-    imgs, bx, bm = jax.vmap(one)(keys, tiles_f, metas, boxes, bmasks, mosaic_flag)
+    imgs, bx, bm, s_imgs, s_bx, s_bm = jax.vmap(one)(
+        keys, tiles_f, metas, boxes, bmasks, mosaic_flag)
 
-    # mixup with the batch neighbor; yolo_dataset_git.py:393-401
-    r_imgs = jnp.roll(imgs, 1, axis=0)
-    r_bx = jnp.roll(bx, 1, axis=0)
-    r_bm = jnp.roll(bm, 1, axis=0)
+    # mixup; yolo_dataset_git.py:393-401. The reference blends the mosaic
+    # composite with a FRESH single-augmented image (:59-62) — mixing two
+    # mosaic composites (which a naive roll of the outputs would do 25% of
+    # the time at the shipped probabilities) trains on ~80-box 0.5-alpha
+    # supervision the reference never produces. The batched equivalent of
+    # "one extra random image" is the batch NEIGHBOR's single-path
+    # augment, which `one` already computes for every sample.
+    r_imgs = jnp.roll(s_imgs, 1, axis=0)
+    r_bx = jnp.roll(s_bx, 1, axis=0)
+    r_bm = jnp.roll(s_bm, 1, axis=0)
+    if r_bx.shape[1] < bx.shape[1]:
+        pad = bx.shape[1] - r_bx.shape[1]
+        r_bx = jnp.pad(r_bx, ((0, 0), (0, pad), (0, 0)))
+        r_bm = jnp.pad(r_bm, ((0, 0), (0, pad)))
     do = mixup_flag[:, None, None, None]
     imgs = jnp.where(do, imgs * 0.5 + r_imgs * 0.5, imgs)
     bx = jnp.concatenate([bx, r_bx], axis=1)
