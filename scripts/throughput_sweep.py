@@ -31,6 +31,21 @@ MODES = {
     "bf16-img": dict(extra_cfg=None, image_dtype="bfloat16"),
     "remat-conv+bf16-img": dict(extra_cfg={"remat": "conv"},
                                 image_dtype="bfloat16"),
+    # XLA compiler-option levers (ride the compile request via the
+    # `xla_opts` plan key -> jit compiler_options; XLA_FLAGS cannot carry
+    # TPU backend flags through the remote-compile tunnel)
+    "vmem64m": dict(extra_cfg={"xla_opts":
+                               {"xla_tpu_scoped_vmem_limit_kib": 65536}},
+                    image_dtype="float32"),
+    "vmem96m": dict(extra_cfg={"xla_opts":
+                               {"xla_tpu_scoped_vmem_limit_kib": 98304}},
+                    image_dtype="float32"),
+    "lhs": dict(extra_cfg={"xla_opts":
+                           {"xla_tpu_enable_latency_hiding_scheduler": True}},
+                image_dtype="float32"),
+    "lhs+vmem64m": dict(extra_cfg={"xla_opts": {
+        "xla_tpu_enable_latency_hiding_scheduler": True,
+        "xla_tpu_scoped_vmem_limit_kib": 65536}}, image_dtype="float32"),
 }
 
 

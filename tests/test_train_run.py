@@ -212,3 +212,31 @@ def test_remat_policies_are_identity(mode, tiny_dataset, tmp_path):
     loss, leaf = one_step(mode)
     np.testing.assert_allclose(loss, base_loss, rtol=1e-6)
     np.testing.assert_allclose(leaf, base_leaf, rtol=1e-5, atol=1e-7)
+
+
+def test_xla_opts_plan_key_compiles_and_matches(tiny_dataset, tmp_path):
+    """The `xla_opts` plan key must ship per-jit compiler options with
+    the train step (the only vehicle that reaches a remote TPU
+    compiler; XLA_FLAGS is rejected locally for backend flags) without
+    changing the math."""
+    plan = _plan(tiny_dataset, tmp_path)
+
+    rs = np.random.RandomState(2)
+    images = jnp.asarray(rs.rand(2, 64, 64, 3), jnp.float32)
+    labels = np.zeros((2, 8, 5), np.float32)
+    labels[:, 0] = [0, 0.5, 0.5, 0.4, 0.4]
+    lmask = np.zeros((2, 8), bool)
+    lmask[:, 0] = True
+    labels, lmask = jnp.asarray(labels), jnp.asarray(lmask)
+
+    outs = []
+    for opts in (None, {"xla_embed_ir_in_executable": True}):
+        plan.cfg.pop("xla_opts", None)
+        if opts:
+            plan.cfg["xla_opts"] = opts
+        tr = Trainer(plan, dtype=jnp.float32)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        state, m = tr.jitted_train_step()(state, images, labels, lmask,
+                                          0.01, 0.1, 0.9)
+        outs.append(float(m["loss"]))
+    assert abs(outs[0] - outs[1]) < 1e-6 * max(1.0, abs(outs[0]))

@@ -169,8 +169,16 @@ class Trainer:
         # place them on the mesh); GSPMD propagates through the jitted step
         # and inserts the ICI collectives.
         if "train_step" not in self._jit_cache:
+            # `xla_opts` plan key: XLA debug options shipped inside the
+            # compile request (e.g. {"xla_tpu_scoped_vmem_limit_kib":
+            # 65536}). This is the only vehicle that reaches a REMOTE
+            # TPU compiler — XLA_FLAGS is parsed (and unknown TPU flags
+            # fatally rejected) by the local plugin before any request
+            # leaves the host.
+            opts = self.plan.cfg.get("xla_opts", None)
+            kw = {"compiler_options": dict(opts)} if opts else {}
             self._jit_cache["train_step"] = jax.jit(
-                self.train_step_fn, donate_argnums=(0,))
+                self.train_step_fn, donate_argnums=(0,), **kw)
         return self._jit_cache["train_step"]
 
     def jitted_eval_loss(self):
