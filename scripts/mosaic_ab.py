@@ -180,8 +180,12 @@ def cmd_report(d):
              "ours_mosaic"),
             ("ours mosaic+mixup 0.5 (matched recipe: always-on mosaic, "
              "single-image mixup partner)", "ours_mosaic2"),
+            ("ours matched recipe, seed 1 replicate", "ours_mosaic2s1"),
             ("ours no mosaic/mixup (same budget)", "ours_plain"),
             ("torch reference mosaic+mixup 0.5", "torch_mosaic")]
+    rows60 = [("ours mosaic+mixup 0.5 (late-clean 0.85)", "ours_mosaic60"),
+              ("ours no mosaic/mixup", "ours_plain60"),
+              ("torch reference mosaic+mixup 0.5", "torch_mosaic60")]
     lines = [MARK_BEGIN,
              "## Mosaic/mixup A/B on the HARD small-object set "
              "(scripts/mosaic_ab.py)",
@@ -198,16 +202,34 @@ def cmd_report(d):
         if key in res:
             lines.append(f"| {label} | {res[key]['mAP@0.5']:.4f} | "
                          f"{res[key]['mAP@0.5:0.95']:.4f} |")
-    best_key = max((k for k in ("ours_mosaic", "ours_mosaic2") if k in res),
-                   key=lambda k: res[k]["mAP@0.5"], default=None)
-    if best_key and "ours_plain" in res:
-        dm = res[best_key]["mAP@0.5"] - res["ours_plain"]["mAP@0.5"]
-        lines += ["", f"mosaic-helps delta (ours best-mosaic [{best_key}] - "
-                  f"ours off): {dm:+.4f}"]
-    if best_key and "torch_mosaic" in res:
-        dt = res[best_key]["mAP@0.5"] - res["torch_mosaic"]["mAP@0.5"]
-        lines += [f"framework delta (ours best-mosaic - torch mosaic): "
-                  f"{dt:+.4f}"]
+    seeds = [res[k]["mAP@0.5"] for k in ("ours_mosaic2", "ours_mosaic2s1")
+             if k in res]
+    mean2 = sum(seeds) / len(seeds) if seeds else None
+    if mean2 is not None and "ours_plain" in res:
+        dm = mean2 - res["ours_plain"]["mAP@0.5"]
+        lines += ["", f"mosaic-helps delta @30ep (ours matched-recipe "
+                  f"seed-mean {mean2:.4f} - ours off): {dm:+.4f}"]
+    if mean2 is not None and "torch_mosaic" in res:
+        dt = mean2 - res["torch_mosaic"]["mAP@0.5"]
+        lines += [f"framework delta @30ep (ours matched-recipe seed-mean - "
+                  f"torch mosaic): {dt:+.4f}"]
+    if any(k in res for k in ("ours_mosaic60", "ours_plain60",
+                              "torch_mosaic60")):
+        lines += ["", "### 60-epoch budget (mosaic's intended regime: "
+                  "2x schedule, late-clean finish)", "",
+                  "| run | mAP@0.5 | mAP@0.5:0.95 |", "|---|---|---|"]
+        for label, key in rows60:
+            if key in res:
+                lines.append(f"| {label} | {res[key]['mAP@0.5']:.4f} | "
+                             f"{res[key]['mAP@0.5:0.95']:.4f} |")
+        if "ours_mosaic60" in res and "ours_plain60" in res:
+            d60 = (res["ours_mosaic60"]["mAP@0.5"]
+                   - res["ours_plain60"]["mAP@0.5"])
+            lines += ["", f"mosaic-helps delta @60ep: {d60:+.4f}"]
+        if "ours_mosaic60" in res and "torch_mosaic60" in res:
+            d60t = (res["ours_mosaic60"]["mAP@0.5"]
+                    - res["torch_mosaic60"]["mAP@0.5"])
+            lines += [f"framework delta @60ep: {d60t:+.4f}"]
     lines += ["",
               "Recipe notes: all mosaic arms run mosaic 0.5 + nested "
               "mixup 0.5 with jitter/flip-LR/HSV. v1 turned mosaic off for "

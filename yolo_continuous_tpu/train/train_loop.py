@@ -17,6 +17,7 @@ checkpoint save. TPU re-design:
 """
 from __future__ import annotations
 
+import gc
 import math
 import os
 import time
@@ -264,6 +265,17 @@ class Trainer:
                 losses.append(metrics["loss"])
                 host_step += 1
                 nsteps += 1
+                # opt-in periodic host sync (`host_sync_every` plan key):
+                # through the tunnel, host mirrors of transferred input
+                # buffers are only reclaimed at sync points — a long
+                # fully-async epoch stream grows host RSS by the bytes
+                # transferred (measured: a 60-epoch mosaic run reached
+                # 130 GB and was OOM-killed). A sync every N steps costs
+                # one RTT (~100 ms) and caps the growth.
+                if (self.plan.cfg.get("host_sync_every", 0)
+                        and nsteps % self.plan.cfg["host_sync_every"] == 0):
+                    jax.block_until_ready(metrics["loss"])
+                    gc.collect()
             mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
             history.append(mean_loss)
             ips = nsteps * plan.batch_size / max(time.time() - t0, 1e-9)
