@@ -265,13 +265,15 @@ class Trainer:
                 losses.append(metrics["loss"])
                 host_step += 1
                 nsteps += 1
-                # opt-in periodic host sync (`host_sync_every` plan key):
-                # through the tunnel, host mirrors of transferred input
-                # buffers are only reclaimed at sync points — a long
-                # fully-async epoch stream grows host RSS by the bytes
-                # transferred (measured: a 60-epoch mosaic run reached
-                # 130 GB and was OOM-killed). A sync every N steps costs
-                # one RTT (~100 ms) and caps the growth.
+                # opt-in periodic host sync (`host_sync_every` plan key).
+                # Through the tunnel, host RSS grows ~1:1 with the bytes
+                # transferred host->device (a 60-epoch mosaic run reached
+                # 130 GB and was OOM-killed at epoch 40). Measured: the
+                # mirrors are NOT reclaimed even at sync points (plugin
+                # frees them at process exit), so budget long-run RAM as
+                # total input bytes — this knob only bounds in-flight
+                # async work (useful pacing/diagnostics, ~100 ms per
+                # sync), it does not cap the growth.
                 if (self.plan.cfg.get("host_sync_every", 0)
                         and nsteps % self.plan.cfg["host_sync_every"] == 0):
                     jax.block_until_ready(metrics["loss"])
