@@ -230,6 +230,15 @@ def cmd_report(d):
             d60t = (res["ours_mosaic60"]["mAP@0.5"]
                     - res["torch_mosaic60"]["mAP@0.5"])
             lines += [f"framework delta @60ep: {d60t:+.4f}"]
+        if "ours_mosaic60" in res and "ours_mosaic60b" not in res:
+            lines += ["", "Caveat: the 60-epoch mosaic arm stopped at epoch "
+                      "39/60 (host OOM — the TPU tunnel retains a host "
+                      "mirror of every transferred batch; see ROADMAP "
+                      "tunnel-operations note), so its late-clean phase "
+                      "(mosaic off after epoch 51) never ran; the row is "
+                      "its best-val checkpoint at epoch 39. A fresh rerun "
+                      "stalled on a tunnel fault. The 30-epoch table "
+                      "carries the complete, replicated comparison."]
     lines += ["",
               "Recipe notes: all mosaic arms run mosaic 0.5 + nested "
               "mixup 0.5 with jitter/flip-LR/HSV. v1 turned mosaic off for "
@@ -238,7 +247,11 @@ def cmd_report(d):
               "reference's ACTIVE semantics — mosaic always on (its "
               "train.py never advances epoch_now past the -1 init, "
               "yolo_dataset_git.py:40) and mixup blending with a fresh "
-              "SINGLE-augmented image (yolo_dataset_git.py:59-62).",
+              "SINGLE-augmented image (yolo_dataset_git.py:59-62). "
+              "Seed spread on the matched-recipe arm is ~0.06 mAP@0.5 "
+              "(0.4293 / 0.4884) — single-run deltas under ~0.05 on this "
+              "240-image val set are noise; the framework comparison "
+              "uses the seed mean.",
               MARK_END]
     block = "\n".join(lines)
     out = os.path.join(repo, "PARITY_AB.md")
