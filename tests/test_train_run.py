@@ -240,3 +240,45 @@ def test_xla_opts_plan_key_compiles_and_matches(tiny_dataset, tmp_path):
                                           0.01, 0.1, 0.9)
         outs.append(float(m["loss"]))
     assert abs(outs[0] - outs[1]) < 1e-6 * max(1.0, abs(outs[0]))
+
+
+def test_device_cache_pool_matches_host_path(tiny_dataset):
+    """augment_batch_from_pool on a device-resident staged pool +
+    batch_plan index batches must reproduce the host-assembled
+    augment_batch pipeline exactly (same seed -> same tile plans ->
+    same augmented images/labels), since staging is deterministic."""
+    from yolo_continuous_tpu.ops.augment import (AugConfig, augment_batch,
+                                                 augment_batch_from_pool)
+
+    ann = load_annotation_file(tiny_dataset)
+    mk = lambda: YoloDataset(ann, 64, 8, mosaic=True, mixup=True,
+                             mosaic_prob=0.7, mixup_prob=0.5,
+                             epoch_length=2, train=True, seed=3,
+                             cache_images=True)
+    ds_host, ds_pool = mk(), mk()
+    pool = tuple(jnp.asarray(a) for a in ds_pool.staged_pool())
+    cfg = AugConfig(size=64)
+    key = jax.random.PRNGKey(7)
+
+    host_batches = list(ds_host.epoch_batches(4, shuffle=True,
+                                              drop_last=False))
+    plan_batches = list(ds_pool.epoch_plans(4, shuffle=True,
+                                            drop_last=False))
+    assert len(host_batches) == len(plan_batches) >= 1
+    for hb, pb in zip(host_batches, plan_batches):
+        tiles, metas, boxes, masks, mosaic, mixup = hb
+        tile_idx, p_mosaic, p_mixup = pb
+        np.testing.assert_array_equal(mosaic, p_mosaic)
+        np.testing.assert_array_equal(mixup, p_mixup)
+        img_h, lab_h, m_h = augment_batch(
+            key, jnp.asarray(tiles), jnp.asarray(metas), jnp.asarray(boxes),
+            jnp.asarray(masks), jnp.asarray(mosaic), jnp.asarray(mixup),
+            cfg=cfg, max_gt=8, train=True)
+        img_p, lab_p, m_p = augment_batch_from_pool(
+            key, *pool, jnp.asarray(tile_idx), jnp.asarray(p_mosaic),
+            jnp.asarray(p_mixup), cfg=cfg, max_gt=8, train=True)
+        np.testing.assert_allclose(np.asarray(img_h), np.asarray(img_p),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(lab_h), np.asarray(lab_p),
+                                   atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(m_h), np.asarray(m_p))

@@ -246,9 +246,66 @@ class YoloDataset:
         mixup = np.array([p[2] for p in plans], bool)
         return tiles, metas, boxes, masks, mosaic, mixup
 
+    # -- device-cache mode ---------------------------------------------------
+    def staged_pool(self):
+        """Stage EVERY image once -> (tiles (N,S,S,3) u8, metas (N,5),
+        boxes (N,MB,5), masks (N,MB)) for `ops.augment.
+        augment_batch_from_pool`. Staging is deterministic per image, so
+        the pool is valid for the whole run; device_put it once and feed
+        steps with `batch_plan` index batches (the only per-step
+        host->device traffic). HBM cost: N*S*S*3 bytes (+ boxes) — the
+        caller gates on dataset size (`device_cache` plan key)."""
+        N, S, MB = len(self.annotations), self.size, self.max_boxes
+        tiles = np.zeros((N, S, S, 3), np.uint8)
+        metas = np.zeros((N, 5), np.float32)
+        boxes = np.zeros((N, MB, 5), np.float32)
+        masks = np.zeros((N, MB), bool)
+        # stage through the SAME path `batch` uses (native C++ when
+        # available, cv2 otherwise): the two resizers differ in rounding,
+        # and the pool must be bit-identical to host-assembled batches.
+        done = np.zeros((N,), bool)
+        if self.use_native:
+            from .native_loader import stage_batch_native
+            paths = [a.path for a in self.annotations]
+            n_tiles, n_metas, ok_n = stage_batch_native(paths, S, 128)
+            for j in range(N):
+                if ok_n[j]:
+                    tiles[j], metas[j] = n_tiles[j], n_metas[j]
+                    if self.cache_images:
+                        self._cache.setdefault(j, (n_tiles[j], n_metas[j]))
+                    done[j] = True
+        for j in range(N):
+            if not done[j]:
+                tiles[j], metas[j], _, _ = self._staged(j)
+            ann = self.annotations[j]
+            n = min(len(ann.boxes), MB)
+            if n:
+                boxes[j, :n] = ann.boxes[:n]
+                masks[j, :n] = True
+        return tiles, metas, boxes, masks
+
+    def batch_plan(self, indices: Sequence[int]):
+        """Index-only analogue of `batch`: (tile_idx (B, n_tiles) int32,
+        mosaic (B,), mixup (B,)). Draws the SAME per-sample rng stream as
+        `batch` (`_tile_plan`), so a run is reproducible across modes.
+        Non-mosaic samples repeat their index into every tile slot; only
+        slot 0 feeds the single-image path and the mosaic branch result
+        is discarded by the flag select in `augment_batch`."""
+        B = len(indices)
+        nt = self.n_tiles
+        tile_idx = np.zeros((B, 4), np.int32)
+        mosaic = np.zeros((B,), bool)
+        mixup = np.zeros((B,), bool)
+        for b, i in enumerate(indices):
+            idxs, um, ux = self._tile_plan(i)
+            tile_idx[b] = idxs if um else [i, i, i, i]
+            mosaic[b], mixup[b] = um, ux
+        if nt == 1:
+            return tile_idx[:, :1], np.zeros_like(mosaic), np.zeros_like(mixup)
+        return tile_idx, mosaic, mixup
+
     # -- epoch iteration ---------------------------------------------------
-    def epoch_batches(self, batch_size: int, shuffle: bool = True,
-                      drop_last: bool = True):
+    def _epoch_order(self, batch_size: int, shuffle: bool, drop_last: bool):
         n = len(self.annotations)
         order = self.rng.permutation(n) if shuffle else np.arange(n)
         stop = n - (n % batch_size) if drop_last else n
@@ -256,7 +313,20 @@ class YoloDataset:
             idx = order[s:s + batch_size]
             if len(idx) < batch_size:  # pad final partial batch by wrapping
                 idx = np.concatenate([idx, order[:batch_size - len(idx)]])
+            yield idx
+
+    def epoch_batches(self, batch_size: int, shuffle: bool = True,
+                      drop_last: bool = True):
+        for idx in self._epoch_order(batch_size, shuffle, drop_last):
             yield self.batch(idx)
+        self.epoch_now += 1
+
+    def epoch_plans(self, batch_size: int, shuffle: bool = True,
+                    drop_last: bool = True):
+        """Device-cache epoch iterator: yields `batch_plan` tuples with
+        the same rng stream/shuffle semantics as `epoch_batches`."""
+        for idx in self._epoch_order(batch_size, shuffle, drop_last):
+            yield self.batch_plan(idx)
         self.epoch_now += 1
 
 

@@ -472,3 +472,38 @@ def augment_batch(
     bx, bm = jax.vmap(lambda b, m: _cap_boxes(b, m, max_gt))(bx, bm)
     labels = boxes_to_labels(bx, bm, cfg.size)
     return imgs / 255.0, labels, bm
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_gt", "train"))
+def augment_batch_from_pool(
+    key,
+    pool_tiles: jnp.ndarray,   # (N, S, S, 3) uint8 — ALL staged canvases
+    pool_metas: jnp.ndarray,   # (N, 5)
+    pool_boxes: jnp.ndarray,   # (N, MB, 5)
+    pool_masks: jnp.ndarray,   # (N, MB)
+    tile_idx: jnp.ndarray,     # (B, T) int32 into the pool
+    mosaic_flag: jnp.ndarray,  # (B,) bool
+    mixup_flag: jnp.ndarray,   # (B,) bool
+    cfg: AugConfig = AugConfig(),
+    max_gt: int = 128,
+    train: bool = True,
+):
+    """``augment_batch`` fed from a device-resident staged-image pool.
+
+    Staging is deterministic per image (letterbox only — every random
+    draw happens in the device warps), so the whole staged dataset can
+    be ``device_put`` ONCE and each step ships just ``(B, T)`` int32
+    tile indices + 2 flag vectors instead of ``B*T*S*S*3`` pixel bytes.
+    This removes the per-step host->device pixel stream entirely — on
+    the tunneled-TPU setup that stream is also mirrored in host RAM
+    until process exit (see train_loop `host_sync_every` note), so the
+    pool mode is what makes very long schedules feasible. The gather
+    and the math are identical to ``augment_batch`` on host-assembled
+    tiles (equality-tested in tests/test_augment.py).
+    """
+    tiles = jnp.take(pool_tiles, tile_idx, axis=0)
+    metas = jnp.take(pool_metas, tile_idx, axis=0)
+    boxes = jnp.take(pool_boxes, tile_idx, axis=0)
+    masks = jnp.take(pool_masks, tile_idx, axis=0)
+    return augment_batch(key, tiles, metas, boxes, masks, mosaic_flag,
+                         mixup_flag, cfg=cfg, max_gt=max_gt, train=train)

@@ -32,7 +32,8 @@ from ..config.plan import TrainPlan, cvt_cfg
 from ..data.dataset import PrefetchLoader, YoloDataset, load_annotation_file
 from ..losses.yolo_loss import LossConfig, yolo_loss
 from ..nn.builder import YoloModel, build_model_spec
-from ..ops.augment import AugConfig, aug_config_from_plan, augment_batch
+from ..ops.augment import (AugConfig, aug_config_from_plan, augment_batch,
+                           augment_batch_from_pool)
 from ..ops.schedules import LRSchedule, StepHyper
 from ..parallel.mesh import (data_sharding, make_mesh, param_sharding_rule,
                              replicated, shard_batch)
@@ -244,19 +245,48 @@ class Trainer:
         best_map = -math.inf
         history = []
 
+        # `device_cache` plan key: stage the whole train set once and
+        # device_put it; each step then ships only (B, T) int32 tile
+        # indices + flags instead of the pixel batch. Removes the
+        # host->device pixel stream (HBM cost N*S*S*3 bytes — the
+        # caller's responsibility to gate on dataset size) and with it
+        # the tunnel's per-transfer host mirrors (see host_sync_every
+        # note above).
+        device_cache = bool(plan.cfg.get("device_cache", False))
+        pool = None
+        if device_cache:
+            t0 = time.time()
+            pool = tuple(jnp.asarray(a) for a in train_ds.staged_pool())
+            log(f"device cache: {pool[0].shape[0]} staged images -> device "
+                f"({pool[0].nbytes / 1e6:.0f} MB, {time.time() - t0:.0f}s)")
+
         host_step = int(state["step"])
         for epoch in range(plan.epochs):
             train_ds.epoch_now = epoch
             t0 = time.time()
             losses, nsteps = [], 0
             hyper = sched(host_step)
-            loader = PrefetchLoader(
-                lambda: train_ds.epoch_batches(plan.batch_size, plan.shuffle,
-                                               plan.drop_last))
+            if device_cache:
+                # index batches are a few hundred bytes — no prefetch
+                # thread needed
+                loader = train_ds.epoch_plans(plan.batch_size, plan.shuffle,
+                                              plan.drop_last)
+            else:
+                loader = PrefetchLoader(
+                    lambda: train_ds.epoch_batches(plan.batch_size,
+                                                   plan.shuffle,
+                                                   plan.drop_last))
             for batch in loader:
                 hyper = sched(host_step)
                 rng, aug_rng = jax.random.split(rng)
-                images, labels, lmask = self.augment(aug_rng, batch, True)
+                if device_cache:
+                    tile_idx, mosaic, mixup = batch
+                    images, labels, lmask = augment_batch_from_pool(
+                        aug_rng, *pool, jnp.asarray(tile_idx),
+                        jnp.asarray(mosaic), jnp.asarray(mixup),
+                        cfg=self.aug_cfg, max_gt=plan.max_boxes, train=True)
+                else:
+                    images, labels, lmask = self.augment(aug_rng, batch, True)
                 state, metrics = step_fn(state, images, labels, lmask,
                                          hyper.lr_weights, hyper.lr_bias,
                                          hyper.momentum)
