@@ -6,41 +6,84 @@ training throughput at 640px — full jitted step (bf16 forward + SimOTA
 loss + backward + 3-group SGD + EMA) with device-resident data, best of
 a small batch-size sweep. Extra keys carry the other BASELINE metrics:
 
-- ``infer_img_s``  end-to-end batched inference (forward + device decode
-  + device NMS) images/sec — the path replacing detect.py:29-144
-- ``nms_p50_ms``   NMS p50 latency, 25200 candidates -> 300 kept — the
+- ``infer_img_s``    end-to-end batched inference (forward + device
+  decode + device NMS) images/sec — the path replacing detect.py:29-144
+- ``infer_1_ms``     single-image end-to-end device latency (the
+  detect.py:227-234 single-image serve path)
+- ``nms_p50_ms``     NMS p50 latency, 25200 candidates -> 300 kept — the
   op replacing the torchvision host round-trip (detect.py:130-140)
-- ``train_sweep``  per-batch-size train throughput
+- ``train_sweep``    per-batch-size train throughput
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so
 the denominator is a documented GPU-normalized stand-in: ~55 img/s for
 YOLOv7 @640 single-GPU (V100-class) training of the torch reference
-(DataParallel, AMP). The BASELINE.json target is >3x this.
+(DataParallel, AMP). The BASELINE.json target is >3x this. A second,
+measured-on-this-host anchor is read from BASELINE_MEASURED.json.
 
-Measurement notes (axon tunnel): every host sync costs a ~100ms RTT, so
-iterations are chained (state/input feeds the next step — the device
-must execute them all) and a 1-iteration run is subtracted to cancel
-the sync RTT.
+Wedge-proofing (round-4 verdict #1): the axon TPU tunnel can be wedged
+by an orphaned far-end claim for an hour+ (ROADMAP operations note), and
+round 3's perf record was LOST to a bench that died on the first
+UNAVAILABLE. This bench therefore (a) probes the device with a tiny op
+in a TIMEOUTED SUBPROCESS (a wedged tunnel blocks forever inside the
+client, so in-process try/except cannot recover), (b) retries with
+multi-minute cooldowns, (c) runs each metric section in its own
+timeouted subprocess, and (d) ALWAYS prints one valid JSON line —
+partial metrics plus an ``error`` field if sections failed — and exits
+0 so the driver records whatever was captured.
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
 REF_GPU_TRAIN_IPS = 55.0
-# measured on THIS host (scripts/ref_cpu_bench.py, BASELINE.md): the
-# unmodified torch reference train step, yolov7 @640 — a second, honest
-# anchor for the ratio (the 55 GPU-normalized stand-in stays primary)
-REF_CPU_MEASURED_IPS = 0.21
+CACHE_DIR = "/tmp/xla_bench_cache"
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/xla_bench_cache")
+def _env_int(name, default):
+    return int(os.environ.get(name, default))
+
+
+PROBE_TIMEOUT = _env_int("BENCH_PROBE_TIMEOUT", 900)   # tiny op; generous —
+PROBE_RETRIES = _env_int("BENCH_PROBE_RETRIES", 4)     # a draining far-end
+PROBE_COOLDOWN = _env_int("BENCH_PROBE_COOLDOWN", 600)  # claim takes 10s of min
+TRAIN_TIMEOUT = _env_int("BENCH_TRAIN_TIMEOUT", 5400)  # cold remote compile
+INFER_TIMEOUT = _env_int("BENCH_INFER_TIMEOUT", 3600)
+SECTION_RETRIES = _env_int("BENCH_SECTION_RETRIES", 1)
+SECTION_COOLDOWN = _env_int("BENCH_SECTION_COOLDOWN", 600)
+
+
+def _ref_cpu_measured():
+    """Measured torch-reference CPU throughput (scripts/ref_cpu_bench.py
+    writes BASELINE_MEASURED.json); fall back to the round-3 value if
+    the file is gone so the ratio stays traceable."""
+    try:
+        rec = json.load(open(os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "BASELINE_MEASURED.json")))
+        return float(rec["yolov7_640_bs4"]["img_s"]), "BASELINE_MEASURED.json"
+    except Exception:
+        return 0.21, "fallback-constant (BASELINE_MEASURED.json unreadable)"
 
 
 def _setup_cache():
     import jax
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", CACHE_DIR)
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+# ---------------------------------------------------------------------------
+# sections (each runs in its own subprocess: `bench.py --section NAME`)
+# ---------------------------------------------------------------------------
+
+def section_probe():
+    import jax
+    import jax.numpy as jnp
+    x = jnp.ones((128, 128))
+    y = (x @ x).block_until_ready()
+    print(json.dumps({"ok": True, "backend": jax.default_backend(),
+                      "sum": float(y.sum())}))
 
 
 def bench_train(batch, size=640, iters=20, extra_cfg=None,
@@ -96,8 +139,18 @@ def bench_train(batch, size=640, iters=20, extra_cfg=None,
     return iters * batch / dt
 
 
-def bench_infer(batch=16, size=640, iters=24):
-    """End-to-end inference (fwd + decode + NMS) img/s and NMS p50 ms."""
+def section_train(batches):
+    _setup_cache()
+    sweep = {}
+    for b in batches:
+        sweep[str(b)] = round(bench_train(b), 2)
+    print(json.dumps({"train_sweep": sweep}))
+
+
+def section_infer(batch=16, size=640, iters=24):
+    """End-to-end inference (fwd + decode + NMS) img/s, single-image
+    latency, and NMS p50 ms."""
+    _setup_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -120,8 +173,6 @@ def bench_infer(batch=16, size=640, iters=24):
 
     NVAR = 4
     rs = np.random.RandomState(0)
-    variants = [jnp.asarray(rs.rand(batch, size, size, 3), jnp.float32)
-                for _ in range(NVAR)]
 
     @jax.jit
     def step(x, carry):
@@ -141,8 +192,14 @@ def bench_infer(batch=16, size=640, iters=24):
         t_full = min(run(n + 1), run(n + 1))   # best-of-2 (RTT spikes add)
         return max(t_full - t_zero, 1e-9) / n
 
+    variants = [jnp.asarray(rs.rand(batch, size, size, 3), jnp.float32)
+                for _ in range(NVAR)]
     dt = chained(step, variants, lambda o: jnp.sum(o[1]) * 1e-12, iters)
     infer_ips = batch / dt
+
+    singles = [jnp.asarray(rs.rand(1, size, size, 3), jnp.float32)
+               for _ in range(NVAR)]
+    dt1 = chained(step, singles, lambda o: jnp.sum(o[1]) * 1e-12, iters)
 
     preds = [jnp.asarray(
         np.concatenate([rs.rand(25200, 2), rs.rand(25200, 2) * 0.1 + 0.01,
@@ -150,32 +207,118 @@ def bench_infer(batch=16, size=640, iters=24):
         jnp.float32) for _ in range(NVAR)]
     f = jax.jit(lambda p, c: nms_single(p + c, 0.25, 0.45, 300))
     nms_dt = chained(f, preds, lambda o: jnp.sum(o[1]) * 1e-12, 40)
-    return infer_ips, nms_dt * 1000.0
+    print(json.dumps({"infer_img_s": round(infer_ips, 2),
+                      "infer_1_ms": round(dt1 * 1000.0, 3),
+                      "nms_p50_ms": round(nms_dt * 1000.0, 3)}))
+
+
+# ---------------------------------------------------------------------------
+# orchestrator
+# ---------------------------------------------------------------------------
+
+def _run_section(args, timeout):
+    """Run `bench.py --section ...` in a subprocess; return (dict|None,
+    error|None). A wedged tunnel blocks forever inside the client, so
+    the timeout is the only reliable recovery."""
+    cmd = [sys.executable, os.path.abspath(__file__)] + args
+    try:
+        p = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=timeout,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        return None, f"{args}: timeout after {timeout}s"
+    for line in reversed(p.stdout.strip().splitlines() or [""]):
+        try:
+            return json.loads(line), None
+        except json.JSONDecodeError:
+            continue
+    tail = (p.stderr or p.stdout or "")[-300:].replace("\n", " | ")
+    return None, f"{args}: rc={p.returncode} {tail}"
+
+
+def _probe_until_healthy(log):
+    for attempt in range(PROBE_RETRIES):
+        out, err = _run_section(["--section", "probe"], PROBE_TIMEOUT)
+        if out and out.get("ok"):
+            log(f"probe ok (backend {out.get('backend')})")
+            return True
+        log(f"probe attempt {attempt + 1}/{PROBE_RETRIES} failed: {err}; "
+            f"cooling down {PROBE_COOLDOWN}s")
+        if attempt + 1 < PROBE_RETRIES:
+            time.sleep(PROBE_COOLDOWN)
+    return False
+
+
+def _with_retry(args, timeout, log):
+    out, err = _run_section(args, timeout)
+    for _ in range(SECTION_RETRIES):
+        if out is not None:
+            break
+        log(f"section failed ({err}); cooling down {SECTION_COOLDOWN}s")
+        time.sleep(SECTION_COOLDOWN)
+        out, err = _run_section(args, timeout)
+    return out, err
 
 
 def main():
-    _setup_cache()
-    batches = [int(b) for b in sys.argv[1:]] or [16, 32]
-    sweep = {}
-    for b in batches:
-        sweep[b] = round(bench_train(b), 2)
-    best_bs = max(sweep, key=sweep.get)
-    ips = sweep[best_bs]
+    if "--section" in sys.argv:
+        i = sys.argv.index("--section")
+        name = sys.argv[i + 1]
+        rest = sys.argv[i + 2:]
+        if name == "probe":
+            section_probe()
+        elif name == "train":
+            section_train([int(b) for b in rest] or [16, 32])
+        elif name == "infer":
+            section_infer()
+        return
 
-    infer_ips, nms_p50 = bench_infer()
+    def log(msg):
+        print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+              flush=True)
 
-    print(json.dumps({
-        "metric": "640px train images/sec/chip (yolov7, bf16, SimOTA step, "
-                  f"bs={best_bs})",
-        "value": ips,
-        "unit": "img/s",
-        "vs_baseline": round(ips / REF_GPU_TRAIN_IPS, 3),
-        "train_sweep": {str(k): v for k, v in sweep.items()},
-        "infer_img_s": round(infer_ips, 2),
-        "nms_p50_ms": round(nms_p50, 3),
-        "ref_cpu_measured_img_s": REF_CPU_MEASURED_IPS,
-        "vs_ref_cpu_measured": round(ips / REF_CPU_MEASURED_IPS, 1),
-    }))
+    batches = [b for b in sys.argv[1:] if b.isdigit()] or ["16", "32"]
+    errors = []
+    result = {
+        "metric": "640px train images/sec/chip (yolov7, bf16, SimOTA step)",
+        "value": None, "unit": "img/s", "vs_baseline": None,
+    }
+
+    healthy = _probe_until_healthy(log)
+    if not healthy:
+        errors.append("device probe never succeeded "
+                      f"({PROBE_RETRIES}x{PROBE_TIMEOUT}s + cooldowns)")
+
+    if healthy:
+        out, err = _with_retry(["--section", "train"] + batches,
+                               TRAIN_TIMEOUT, log)
+        if out:
+            sweep = {k: v for k, v in out["train_sweep"].items()
+                     if v and v > 0}
+            if sweep:
+                best_bs = max(sweep, key=sweep.get)
+                result["value"] = sweep[best_bs]
+                result["metric"] += f" bs={best_bs}"
+                result["train_sweep"] = out["train_sweep"]
+        if err:
+            errors.append(err)
+
+        out, err = _with_retry(["--section", "infer"], INFER_TIMEOUT, log)
+        if out:
+            result.update(out)
+        if err:
+            errors.append(err)
+
+    if result["value"]:
+        result["vs_baseline"] = round(result["value"] / REF_GPU_TRAIN_IPS, 3)
+        ref_cpu, src = _ref_cpu_measured()
+        result["ref_cpu_measured_img_s"] = ref_cpu
+        result["ref_cpu_measured_source"] = src
+        result["vs_ref_cpu_measured"] = round(result["value"] / ref_cpu, 1)
+    if errors:
+        result["error"] = "; ".join(errors)
+    print(json.dumps(result))
+    sys.exit(0)
 
 
 if __name__ == "__main__":

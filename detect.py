@@ -25,12 +25,16 @@ def main():
     ap.add_argument("--device",
                     default=os.environ.get("JAX_PLATFORMS", "").strip(),
                     help="backend: '', 'cpu', 'tpu'")
+    ap.add_argument("--verbose", action="store_true",
+                    help="print the per-layer param table "
+                         "(Model.print_info parity)")
     args = ap.parse_args()
     if args.device:
         from yolo_continuous_tpu.utils.timing import select_device
         select_device(args.device)
     predict(args.cfg, args.image, conf_threshold=args.conf,
-            nms_threshold=args.nms, save_path=args.save, show=args.show)
+            nms_threshold=args.nms, save_path=args.save, show=args.show,
+            verbose=args.verbose)
 
 
 if __name__ == "__main__":

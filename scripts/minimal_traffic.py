@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Analytic HBM lower bound for the yolov7@640 train step (round-4
+verdict #2: commit the byte-accounting of the MINIMAL achievable
+traffic as an artifact, not prose).
+
+Model: in an ideally-fused implementation every elementwise/BN/concat/
+pad/transpose op fuses into a neighboring convolution for free; what
+CANNOT be avoided is each convolution reading its input activation +
+kernel from HBM and writing its output (convs cannot fuse through each
+other). The step's jaxpr (fwd + bwd via value_and_grad + optimizer +
+EMA, exactly what Trainer jits) is walked recursively and every
+``conv_general_dilated`` equation — forward convs AND the transposed
+convs autodiff inserts — contributes bytes(lhs) + bytes(rhs) +
+bytes(out). Optimizer/EMA state traffic is counted analytically on top
+(params/grads/momentum/EMA each read+written once per step, fp32).
+
+This is a LOWER bound on any implementation that materializes conv
+operands in HBM; XLA's measured 73.6 GB/step (reports/
+cost_analysis.json) sits above it by the fusion-headroom factor the
+report prints. Writes reports/minimal_traffic.json.
+
+Runs on CPU (pure tracing, no compile): python scripts/minimal_traffic.py
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PEAK_TFLOPS = 394.0     # v5e public spec
+PEAK_HBM_GBS = 819.0
+
+
+def _nbytes(aval):
+    import numpy as np
+    return int(np.prod(aval.shape)) * aval.dtype.itemsize
+
+
+def walk_convs(jaxpr, acc):
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "conv_general_dilated":
+            lhs, rhs = eqn.invars[0].aval, eqn.invars[1].aval
+            out = eqn.outvars[0].aval
+            acc["n_convs"] += 1
+            acc["lhs_bytes"] += _nbytes(lhs)
+            acc["rhs_bytes"] += _nbytes(rhs)
+            acc["out_bytes"] += _nbytes(out)
+        for v in eqn.params.values():
+            for sub in _subjaxprs(v):
+                walk_convs(sub, acc)
+    return acc
+
+
+def _subjaxprs(v):
+    import jax
+    if isinstance(v, jax.extend.core.Jaxpr):
+        yield v
+    elif isinstance(v, jax.extend.core.ClosedJaxpr):
+        yield v.jaxpr
+    elif isinstance(v, (list, tuple)):
+        for x in v:
+            yield from _subjaxprs(x)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")   # tracing only; stay off TPU
+    import numpy as np
+    import yaml
+
+    import jax.numpy as jnp
+    from yolo_continuous_tpu.config.plan import TrainPlan
+    from yolo_continuous_tpu.train.train_loop import Trainer
+
+    batch, size = 16, 640
+    cfg = yaml.safe_load(open("cfg/coco_train.yaml"))
+    cfg.update(image_size=size, batch_size=batch, max_boxes=64)
+    plan = TrainPlan(cfg)
+    tr = Trainer(plan, dtype=jnp.bfloat16)   # the TPU training dtype
+    state = jax.eval_shape(tr.init_state, jax.random.PRNGKey(0))
+    images = jax.ShapeDtypeStruct((batch, size, size, 3), jnp.float32)
+    labels = jax.ShapeDtypeStruct((batch, 64, 5), jnp.float32)
+    lmask = jax.ShapeDtypeStruct((batch, 64), jnp.bool_)
+    lr = jax.ShapeDtypeStruct((), jnp.float32)
+
+    jaxpr = jax.make_jaxpr(tr.train_step_fn)(state, images, labels, lmask,
+                                             lr, lr, lr)
+    acc = walk_convs(jaxpr.jaxpr, {"n_convs": 0, "lhs_bytes": 0,
+                                   "rhs_bytes": 0, "out_bytes": 0})
+
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree.leaves(state["params"]))
+    # per step, fp32: grads w+r, momentum r+w, params r+w, EMA r+w
+    state_bytes = 8 * n_params * 4
+
+    conv_bytes = acc["lhs_bytes"] + acc["rhs_bytes"] + acc["out_bytes"]
+    min_bytes = conv_bytes + state_bytes
+    t_hbm_ms = min_bytes / 1e9 / PEAK_HBM_GBS * 1e3
+    ceiling = batch / (min_bytes / 1e9 / PEAK_HBM_GBS)
+
+    measured = None
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ca_path = os.path.join(here, "reports/cost_analysis.json")
+    if os.path.exists(ca_path):
+        measured = json.load(open(ca_path))["modes"]["base"][
+            "gb_accessed_per_step"]
+
+    out = {
+        "batch": batch, "size": size, "dtype": "bfloat16 body",
+        "model_of_minimum": "every conv reads lhs+rhs and writes out; "
+                            "all other ops fuse for free; + 8x fp32 "
+                            "param-state traffic (grads/momentum/params/"
+                            "EMA r+w)",
+        "n_conv_eqns_fwd_bwd": acc["n_convs"],
+        "conv_lhs_gb": round(acc["lhs_bytes"] / 1e9, 3),
+        "conv_rhs_gb": round(acc["rhs_bytes"] / 1e9, 3),
+        "conv_out_gb": round(acc["out_bytes"] / 1e9, 3),
+        "param_state_gb": round(state_bytes / 1e9, 3),
+        "min_gb_per_step": round(min_bytes / 1e9, 3),
+        "min_t_hbm_ms": round(t_hbm_ms, 2),
+        "ideal_ceiling_img_s": round(ceiling, 1),
+        "xla_measured_gb_per_step": measured,
+        "fusion_headroom_x": round(measured / (min_bytes / 1e9), 2)
+        if measured else None,
+    }
+    os.makedirs(os.path.join(here, "reports"), exist_ok=True)
+    with open(os.path.join(here, "reports/minimal_traffic.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

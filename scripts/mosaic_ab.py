@@ -106,12 +106,42 @@ def cmd_gen(d):
     print("plans:", paths)
 
 
-def cmd_train_torch(d):
+def cmd_gen_extra(d):
+    """Round-4 plan variants, derived from the base plans `gen` wrote:
+    - plan_ours_mosaic2s{0,1,2}.yaml  matched recipe (always-on mosaic,
+      special_aug_ratio 1.0), seeds 0/1/2 — the 3-seed replicate the
+      round-3 verdict asked for (seed spread ~0.06 vs a +0.017 claim)
+    - plan_ours_mosaic60c.yaml  the COMPLETE 60-epoch late-clean arm
+      (special_aug_ratio 0.85) with device_cache on: the round-3 run
+      OOM'd at epoch 39 on the tunnel's host-mirror leak; the pool mode
+      ships only index batches, so the full schedule fits in one process
+    - plan_torch_mosaic_s{1,2}.yaml  extra torch seeds (same recipe)
+    """
+    import yaml
+    base = yaml.safe_load(open(os.path.join(d, "plan_ours_mosaic.yaml")))
+    for seed in (0, 1, 2):
+        v2 = dict(base, seed=seed, special_aug_ratio=1.0,
+                  save_name=f"ab_mosaic2s{seed}")
+        with open(os.path.join(d, f"plan_ours_mosaic2s{seed}.yaml"), "w") as f:
+            yaml.safe_dump(v2, f)
+    m60 = dict(base, epochs=60, special_aug_ratio=0.85, device_cache=True,
+               save_name="ab_mosaic60c")
+    with open(os.path.join(d, "plan_ours_mosaic60c.yaml"), "w") as f:
+        yaml.safe_dump(m60, f)
+    tb = yaml.safe_load(open(os.path.join(d, "plan_torch_mosaic.yaml")))
+    for seed in (1, 2):
+        tv = dict(tb, save_name=f"ab_torchmos_s{seed}")
+        with open(os.path.join(d, f"plan_torch_mosaic_s{seed}.yaml"), "w") as f:
+            yaml.safe_dump(tv, f)
+    print("wrote round-4 plan variants")
+
+
+def cmd_train_torch(d, plan="plan_torch_mosaic.yaml", seed=0):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     t0 = time.time()
     subprocess.run([sys.executable,
                     os.path.join(repo, "scripts/ref_train_driver.py"),
-                    os.path.join(d, "plan_torch_mosaic.yaml")], check=True)
+                    os.path.join(d, plan), str(seed)], check=True)
     print(f"torch reference trained in {time.time() - t0:.0f}s")
 
 
@@ -267,19 +297,55 @@ def cmd_report(d):
     print("wrote", out)
 
 
+def cmd_eval_extra(d):
+    """Evaluate any round-4 variant checkpoints present and merge them
+    into mosaic_results.json under their plan-derived keys."""
+    out_path = os.path.join(d, "mosaic_results.json")
+    res = json.load(open(out_path)) if os.path.exists(out_path) else {}
+    variants = [(f"ours_mosaic2s{s}", f"ab_mosaic2s{s}.msgpack", None)
+                for s in (0, 1, 2)]
+    variants += [("ours_mosaic60c", "ab_mosaic60c.msgpack", None)]
+    variants += [(f"torch_mosaic_s{s}", f"ab_torchmos_s{s}.pth",
+                  f"ab_torchmos_s{s}.pth") for s in (1, 2)]
+    for key, ck, torch_pth in variants:
+        path = os.path.join(d, ck)
+        if key in res or not os.path.exists(path):
+            continue
+        plan_name = ("torch_mosaic" if torch_pth else
+                     {"ours_mosaic60c": "ours_mosaic60c"}.get(
+                         key, key))
+        res[key] = _eval_ckpt(d, plan_name,
+                              torch_pth=path if torch_pth else None)
+        print(key, res[key])
+    with open(out_path, "w") as f:
+        json.dump(res, f, indent=1)
+    return res
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["gen", "train-torch", "train-ours",
-                                    "train-plain", "eval", "report"])
+    ap.add_argument("cmd", choices=["gen", "gen-extra", "train-torch",
+                                    "train-ours", "train-plain", "train",
+                                    "eval", "eval-extra", "report"])
     ap.add_argument("--dir", default="/tmp/mosaic_ab")
+    ap.add_argument("--plan", default=None,
+                    help="for `train`: plan_<NAME>.yaml name part")
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
     d = args.dir
     os.makedirs(d, exist_ok=True)
-    {"gen": cmd_gen,
-     "train-torch": cmd_train_torch,
-     "train-ours": lambda d: _train_ours(d, "ours_mosaic"),
-     "train-plain": lambda d: _train_ours(d, "ours_plain"),
-     "eval": cmd_eval, "report": cmd_report}[args.cmd](d)
+    if args.cmd == "train":
+        _train_ours(d, args.plan)
+    elif args.cmd == "train-torch":
+        plan = (f"plan_{args.plan}.yaml" if args.plan
+                else "plan_torch_mosaic.yaml")
+        cmd_train_torch(d, plan, args.seed)
+    else:
+        {"gen": cmd_gen, "gen-extra": cmd_gen_extra,
+         "train-ours": lambda d: _train_ours(d, "ours_mosaic"),
+         "train-plain": lambda d: _train_ours(d, "ours_plain"),
+         "eval": cmd_eval, "eval-extra": cmd_eval_extra,
+         "report": cmd_report}[args.cmd](d)
 
 
 if __name__ == "__main__":

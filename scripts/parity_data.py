@@ -199,6 +199,100 @@ def _gen_image_hard(path, size, rs, n_classes=16):
     return boxes
 
 
+CLASSES20 = CLASSES16 + ["pentagon", "lollipop", "trapezoid", "checker"]
+
+
+def _draw_shape20(img, cls, x1, y1, w, h, color, rs):
+    """20-class vocabulary for the north-star 640px A/B (classes 0-15
+    reuse the 16-class set); VOC-proxy class count per BASELINE.md."""
+    import cv2
+    if cls < 16:
+        return _draw_shape16(img, cls, x1, y1, w, h, color, rs)
+    x2, y2 = x1 + w, y1 + h
+    cx, cy = x1 + w // 2, y1 + h // 2
+    if cls == 16:   # pentagon
+        pts = []
+        for k in range(5):
+            ang = -math.pi / 2 + k * 2 * math.pi / 5
+            pts.append([cx + (w / 2) * math.cos(ang),
+                        cy + (h / 2) * math.sin(ang)])
+        cv2.fillPoly(img, [np.asarray(pts, np.int32)], color)
+    elif cls == 17:  # lollipop: circle atop a thin stem
+        r_w, r_h = w // 2, max(2, h // 3)
+        cv2.ellipse(img, (cx, y1 + r_h), (r_w, r_h), 0, 0, 360, color, -1)
+        t = max(2, w // 6)
+        cv2.rectangle(img, (cx - t // 2, y1 + r_h), (cx + t // 2, y2),
+                      color, -1)
+    elif cls == 18:  # trapezoid (narrow top, full-width base)
+        pts = np.array([[x1 + w // 4, y1], [x1 + 3 * w // 4, y1],
+                        [x2, y2], [x1, y2]], np.int32)
+        cv2.fillPoly(img, [pts], color)
+    else:            # checker: filled squares at TL and BR quadrants
+        cv2.rectangle(img, (x1, y1), (cx, cy), color, -1)
+        cv2.rectangle(img, (cx, cy), (x2, y2), color, -1)
+    return x1, y1, x2, y2
+
+
+def _gen_image_voc(path, size, rs, n_classes=20):
+    """VOC-proxy image for the north-star A/B @640: 1-7 objects with a
+    VOC-like wide size spread (log-uniform ~5%..80% of the image side,
+    biased medium-large), clutter + occlusion as in the other sets."""
+    import cv2
+    g0, g1 = rs.randint(60, 110), rs.randint(110, 190)
+    ramp = np.linspace(g0, g1, size, dtype=np.float32)
+    img = np.broadcast_to(ramp[None, :] if rs.rand() < 0.5 else ramp[:, None],
+                          (size, size)).copy()
+    img = np.repeat(img[..., None], 3, -1)
+    img += rs.randn(size, size, 3) * 8
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    for _ in range(rs.randint(4, 12)):   # unlabeled distractor dots
+        cv2.circle(img, (rs.randint(0, size), rs.randint(0, size)),
+                   rs.randint(2, 8), _rand_color(rs), -1)
+
+    boxes = []
+    for _ in range(rs.randint(1, 8)):
+        for _try in range(40):
+            s = math.exp(rs.uniform(math.log(0.05 * size),
+                                    math.log(0.80 * size)))
+            ar = math.exp(rs.uniform(math.log(0.5), math.log(2.0)))
+            w = int(np.clip(s * math.sqrt(ar), 16, size - 2))
+            h = int(np.clip(s / math.sqrt(ar), 16, size - 2))
+            x1 = rs.randint(0, size - w)
+            y1 = rs.randint(0, size - h)
+            cand = (x1, y1, x1 + w, y1 + h)
+            if all(_iou_xyxy(cand, b[:4]) < 0.3 for b in boxes):
+                break
+        else:
+            continue
+        cls = rs.randint(0, n_classes)
+        bb = _draw_shape20(img, cls, x1, y1, w, h, _rand_color(rs), rs)
+        boxes.append((*bb, cls))
+    cv2.imwrite(path, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    return boxes
+
+
+def make_voc_proxy_dataset(outdir, n_train=1024, n_val=256, size=640,
+                           seed=0):
+    """20-class VOC-proxy set @640 in the reference annotation format."""
+    os.makedirs(outdir, exist_ok=True)
+    rs = np.random.RandomState(seed)
+    anns = {}
+    for split, n in (("train", n_train), ("val", n_val)):
+        lines = []
+        for i in range(n):
+            p = os.path.join(outdir, f"{split}{i}.jpg")
+            boxes = _gen_image_voc(p, size, rs)
+            while not boxes:
+                boxes = _gen_image_voc(p, size, rs)
+            lines.append(p + " " + " ".join(
+                f"{b[0]},{b[1]},{b[2]},{b[3]},{b[4]}" for b in boxes) + "\n")
+        ann = os.path.join(outdir, f"{split}.txt")
+        with open(ann, "w") as f:
+            f.writelines(lines)
+        anns[split] = ann
+    return anns["train"], anns["val"]
+
+
 def make_hard_dataset(outdir, n_train=1200, n_val=240, size=320, seed=0):
     """16-class small-object set in the reference annotation format."""
     os.makedirs(outdir, exist_ok=True)

@@ -11,7 +11,7 @@ plan's mosaic setting. Everything else (Model, YOLOLoss, optimizer,
 schedulers, warm-up, the epoch loop, checkpointing) runs the reference's
 own code verbatim.
 
-Run: python scripts/ref_train_driver.py /path/to/plan_torch.yaml
+Run: python scripts/ref_train_driver.py /path/to/plan_torch.yaml [seed]
 """
 import os
 import sys
@@ -88,11 +88,12 @@ def patched_get_dataloader(train_plan, train=True):
 
 def main():
     plan_yaml = os.path.abspath(sys.argv[1])
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     import numpy as np
     import torch
 
-    torch.manual_seed(0)
-    np.random.seed(0)
+    torch.manual_seed(seed)
+    np.random.seed(seed)
 
     import main.data_loader as ref_dl
     ref_dl.get_dataloader = patched_get_dataloader

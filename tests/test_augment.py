@@ -249,9 +249,10 @@ def test_mixup_partner_is_single_augment():
                                      cfg=cfg, max_gt=64, train=True)
 
     # expected partner: sample 0's SINGLE-path augment (key path mirrors
-    # augment_batch: per-sample key -> split(k, 3)[1])
+    # augment_batch: per-sample key -> split(k, 4)[1]); at the default
+    # enhance config the partner's _post_enhance is the identity
     k0 = jax.random.split(key, B)[0]
-    _, k2, _ = jax.random.split(k0, 3)
+    _, k2, _, _ = jax.random.split(k0, 4)
     partner, _, _ = augment_single(k2, jnp.asarray(tiles[0, 0], jnp.float32),
                                    jnp.asarray(metas[0, 0]),
                                    jnp.asarray(boxes[0, 0]),
@@ -261,3 +262,25 @@ def test_mixup_partner_is_single_augment():
     # sample 0 (mixup off) untouched
     np.testing.assert_allclose(np.asarray(imgs_mix[0]),
                                np.asarray(imgs_nomix[0]), atol=1e-6)
+
+
+def test_mixup_partner_sees_post_enhance():
+    """With a NON-default enhance config the mixup partner must pass
+    through the same opt-in ops as the sample's own branch (round-3
+    advisor finding): with flip_ud=1.0 every branch output is the
+    deterministic UD mirror of the flip_ud=0.0 run, so the blended
+    image must mirror too — it can't if the partner skipped the op."""
+    tiles, metas, boxes, masks = _batch(B=2)
+    cfg0 = AugConfig(size=S, hue=0, sat=0, val=0, flip_ud=0.0)
+    cfgf = cfg0._replace(flip_ud=1.0)
+    key = jax.random.PRNGKey(3)
+    args = (jnp.asarray(tiles), jnp.asarray(metas), jnp.asarray(boxes),
+            jnp.asarray(masks), jnp.asarray([True, True]),
+            jnp.asarray([True, True]))
+    img0, lab0, m0 = augment_batch(key, *args, cfg=cfg0, max_gt=64,
+                                   train=True)
+    imgf, labf, mf = augment_batch(key, *args, cfg=cfgf, max_gt=64,
+                                   train=True)
+    np.testing.assert_allclose(np.asarray(imgf),
+                               np.asarray(img0)[:, ::-1, :, :], atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(m0), np.asarray(mf))

@@ -37,6 +37,27 @@ def test_yolov7_param_parity():
     assert _param_count(_spec("yolov7", 80)) == 37_620_125
 
 
+def test_model_info_table():
+    """Per-layer param table (Model.print_info parity, nets/yolo.py:
+    127-141): one row per YAML layer, every parameter attributed to
+    exactly one row, summary total == tree total."""
+    from yolo_continuous_tpu.nn.builder import format_model_info, model_info
+    spec = _spec("yolov7-tiny", 20)
+    model = YoloModel(spec=spec)
+    v = jax.eval_shape(lambda k, x: model.init(k, x, False),
+                       jax.random.PRNGKey(0),
+                       jnp.zeros((1, 64, 64, 3), jnp.float32))
+    rows, summary = model_info(spec, v["params"])
+    assert summary["layers"] == len(spec.layers) == len(rows)
+    assert summary["parameters"] == 6_065_281 == sum(r["params"] for r in rows)
+    assert rows[0]["module"] == "Conv" and rows[0]["params"] > 0
+    # parameter-free layers report 0
+    assert all(r["params"] == 0 for r in rows if r["module"] in
+               ("Concat", "MP", "SP", "nn.Upsample"))
+    txt = format_model_info(spec, v["params"])
+    assert "Model Summary: " in txt and "6065281" in txt.replace(",", "")
+
+
 def test_strides_and_anchor_assignment():
     spec = _spec("yolov7-tiny", 20)
     assert spec.head_name == "Detect"

@@ -127,6 +127,83 @@ def test_yolov7_forward_parity(torch_ref):
         np.testing.assert_allclose(np.asarray(o), t5, atol=5e-3, rtol=2e-3)
 
 
+@pytest.mark.parametrize("phi", ["l", "x"])
+def test_yolo_body_forward_parity(torch_ref, phi):
+    """Hard-coded family import (round-4 verdict #6): a reference
+    nets/yolo_net.YoloBody state_dict loads into our nn/yolo_body.YoloBody
+    via convert_body_state_dict with bit-level forward parity."""
+    torch, _, _ = torch_ref
+    sys.path.insert(0, REF)
+    try:
+        from nets.yolo_net import YoloBody as TorchBody
+    finally:
+        sys.path.remove(REF)
+    from yolo_continuous_tpu.nn.yolo_body import YoloBody
+    from yolo_continuous_tpu.tools.torch_import import convert_body_state_dict
+
+    nc = 3
+    mask = [[6, 7, 8], [3, 4, 5], [0, 1, 2]]
+    torch.manual_seed(2)
+    tm = TorchBody(mask, nc, phi, pretrained=False)
+    tm.eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.1)
+                m.running_var.copy_(torch.rand_like(m.running_var) + 0.5)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+
+    model = YoloBody(num_classes=nc, phi=phi)
+    x_np = np.random.RandomState(2).rand(1, 64, 64, 3).astype(np.float32)
+    v = model.init(jax.random.PRNGKey(0), jnp.asarray(x_np), False)
+    params, batch_stats = convert_body_state_dict(
+        sd, v["params"], v["batch_stats"], strict=True)
+    ours = model.apply({"params": jax.tree.map(jnp.asarray, params),
+                        "batch_stats": jax.tree.map(jnp.asarray, batch_stats)},
+                       jnp.asarray(x_np), False)
+    with torch.no_grad():
+        tout = tm(torch.from_numpy(x_np.transpose(0, 3, 1, 2)))
+    assert len(ours) == len(tout) == 3
+    for o, t in zip(ours, tout):
+        bs, no_na, h, w = t.shape
+        na = o.shape[3]
+        t5 = t.numpy().reshape(bs, na, no_na // na, h, w).transpose(0, 3, 4, 1, 2)
+        np.testing.assert_allclose(np.asarray(o), t5, atol=5e-3, rtol=2e-3)
+
+
+def test_backbone_checkpoint_imports(torch_ref):
+    """A bare pretrained-backbone state_dict (nets/backbone.py:118-125
+    download path) imports into our Backbone directly."""
+    torch, _, _ = torch_ref
+    sys.path.insert(0, REF)
+    try:
+        from nets.backbone import Backbone as TorchBackbone
+    finally:
+        sys.path.remove(REF)
+    from yolo_continuous_tpu.nn.yolo_body import Backbone
+    from yolo_continuous_tpu.tools.torch_import import convert_body_state_dict
+
+    torch.manual_seed(3)
+    tb = TorchBackbone(8, 8, 4, "l", pretrained=False)
+    tb.eval()
+    sd = {k: v.numpy() for k, v in tb.state_dict().items()}
+
+    model = Backbone(transition_channels=8, block_channels=8, n=4, phi="l")
+    x_np = np.random.RandomState(3).rand(1, 64, 64, 3).astype(np.float32)
+    v = model.init(jax.random.PRNGKey(0), jnp.asarray(x_np), False)
+    params, batch_stats = convert_body_state_dict(
+        sd, v["params"], v["batch_stats"], strict=True)
+    ours = model.apply({"params": jax.tree.map(jnp.asarray, params),
+                        "batch_stats": jax.tree.map(jnp.asarray, batch_stats)},
+                       jnp.asarray(x_np), False)
+    with torch.no_grad():
+        tout = tb(torch.from_numpy(x_np.transpose(0, 3, 1, 2)))
+    for o, t in zip(ours, tout):
+        np.testing.assert_allclose(np.asarray(o),
+                                   t.numpy().transpose(0, 2, 3, 1),
+                                   atol=2e-3, rtol=1e-3)
+
+
 def test_export_roundtrip(torch_ref):
     """export_state_dict o convert_state_dict == identity, and the export
     loads into the torch reference Model without missing keys."""

@@ -25,11 +25,14 @@ def main():
                     help="backend: '' (default), 'cpu', 'tpu' "
                          "(select_device analogue; JAX_PLATFORMS env "
                          "honored — the TPU plugin ignores the env var)")
+    ap.add_argument("--verbose", action="store_true",
+                    help="print the per-layer param table "
+                         "(Model.print_info parity, nets/yolo.py:127-141)")
     args = ap.parse_args()
     if args.device:
         from yolo_continuous_tpu.utils.timing import select_device
         select_device(args.device)
-    train(check_file(args.cfg))
+    train(check_file(args.cfg), verbose=args.verbose)
 
 
 if __name__ == "__main__":

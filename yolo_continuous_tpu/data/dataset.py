@@ -99,6 +99,7 @@ class YoloDataset:
         self.epoch_length = epoch_length
         self.special_aug_ratio = special_aug_ratio
         self.train = train
+        self.seed = seed
         self.rng = np.random.RandomState(seed)
         self.epoch_now = 0
         self._cache: dict = {}
@@ -112,6 +113,15 @@ class YoloDataset:
 
     def __len__(self):
         return len(self.annotations)
+
+    def reseed(self, epoch: int):
+        """Deterministic per-epoch rng: the shuffle order and the
+        mosaic/mixup tile plans depend only on (seed, epoch), so a
+        resumed run replays the SAME remaining-epoch sequence an
+        uninterrupted run produces (round-4 resume-semantics fix;
+        Trainer.run calls this at every epoch start)."""
+        self.epoch_now = epoch
+        self.rng = np.random.RandomState([self.seed & 0x7FFFFFFF, epoch])
 
     # -- single staged sample ---------------------------------------------
     def _staged(self, idx: int):

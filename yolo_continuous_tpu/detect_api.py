@@ -73,12 +73,15 @@ class Detector:
 
     def __init__(self, plan: TrainPlan, dtype=None, params=None,
                  batch_stats=None, use_ema: bool = True, fuse: bool = False,
-                 head_dtype=None):
+                 head_dtype=None, fused_tails=None):
         """fuse=True re-parameterizes RepConv branches into single convs
         (the reference's deploy-time ``fuse()``, nets/yolo_net.py:274-283).
         head_dtype: logit accumulate/output dtype (default fp32, matching
         training; bf16 halves head-map traffic with a measured-zero mAP
-        cost on the A/B task — see PARITY_AB.md)."""
+        cost on the A/B task — see PARITY_AB.md).
+        fused_tails: run eligible 1x1 neck tails as the fused Pallas
+        matmul+BN+SiLU kernel (layers.Conv.fused_tail); defaults to the
+        plan's ``fused_tails`` key (off)."""
         self.plan = plan
         self.dtype = dtype or (jnp.bfloat16 if jax.default_backend() == "tpu"
                                else jnp.float32)
@@ -87,8 +90,12 @@ class Detector:
                                      plan.num_labels, plan.anchors_mask)
         self.fuse = fuse
         self.head_dtype = head_dtype or jnp.float32
+        if fused_tails is None:
+            fused_tails = bool(plan.cfg.get("fused_tails", False))
+        self.fused_tails = fused_tails
         self.model = YoloModel(spec=self.spec, dtype=self.dtype,
-                               head_dtype=self.head_dtype)
+                               head_dtype=self.head_dtype,
+                               fused_tails=fused_tails)
         self.nl = len(self.spec.strides)
 
         if params is None:
@@ -114,7 +121,8 @@ class Detector:
                                                     batch_stats or {})
             self.spec = deploy_spec(self.spec)
             self.model = YoloModel(spec=self.spec, dtype=self.dtype,
-                                   head_dtype=self.head_dtype)
+                                   head_dtype=self.head_dtype,
+                                   fused_tails=self.fused_tails)
         self.params = params
         self.batch_stats = batch_stats or {}
         self._infer = None
@@ -152,14 +160,19 @@ class Detector:
 
 def predict(cfg_file: str, image_path: str, conf_threshold: float = 0.3,
             nms_threshold: float = 0.3, detector: Optional[Detector] = None,
-            save_path: Optional[str] = None, show: bool = False):
+            save_path: Optional[str] = None, show: bool = False,
+            verbose: bool = False):
     """Public API mirroring ``detect.py:208-265``.
 
     Returns the list of TargetBox records (printed like the reference);
-    optionally renders boxes to ``save_path``.
+    optionally renders boxes to ``save_path``. ``verbose`` prints the
+    per-layer param table (Model.print_info parity, nets/yolo.py:127-141).
     """
     plan = TrainPlan(check_file(cfg_file))
     det = detector or Detector(plan)
+    if verbose:
+        from .nn.builder import format_model_info
+        print(format_model_info(det.spec, det.params, plan.image_size))
     size = (plan.image_size, plan.image_size)
 
     bgr = cv2.imread(image_path)

