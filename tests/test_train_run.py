@@ -142,6 +142,26 @@ def test_resume_matches_uninterrupted(tiny_dataset, tmp_path):
         np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
 
 
+def test_device_cache_budget_gate(tiny_dataset, tmp_path):
+    """device_cache auto-enables under the byte budget, stays off above
+    it, and an explicit opt-in over budget warns (round-3 advisor #4)."""
+    def run_with(cfg_extra):
+        plan = _plan(tiny_dataset, tmp_path)
+        plan.epochs = 0          # decision runs before the epoch loop
+        plan.resume = False
+        plan.cfg.update(cfg_extra)
+        logs = []
+        Trainer(plan, dtype=jnp.float32).run(log=logs.append)
+        return "\n".join(logs)
+
+    assert "device cache auto-enabled" in run_with({})
+    small = run_with({"device_cache_budget_mb": 0.0001})
+    assert "auto-enabled" not in small and "WARNING" not in small
+    forced = run_with({"device_cache": True,
+                       "device_cache_budget_mb": 0.0001})
+    assert "WARNING: device_cache pool" in forced
+
+
 def test_lr_schedule_clamps_past_end():
     """Past the final epoch the reference's linear lambda goes NEGATIVE
     (main/learningrate_scheduler.py:44); ours clamps at the final value."""
