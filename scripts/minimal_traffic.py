@@ -36,7 +36,7 @@ def _nbytes(aval):
     return int(np.prod(aval.shape)) * aval.dtype.itemsize
 
 
-def walk_convs(jaxpr, acc):
+def walk_convs(jaxpr, acc, by_prim=None):
     for eqn in jaxpr.eqns:
         if eqn.primitive.name == "conv_general_dilated":
             lhs, rhs = eqn.invars[0].aval, eqn.invars[1].aval
@@ -45,9 +45,16 @@ def walk_convs(jaxpr, acc):
             acc["lhs_bytes"] += _nbytes(lhs)
             acc["rhs_bytes"] += _nbytes(rhs)
             acc["out_bytes"] += _nbytes(out)
+        if by_prim is not None and not any(
+                True for v in eqn.params.values() for _ in _subjaxprs(v)):
+            b = sum(_nbytes(o.aval) for o in eqn.outvars
+                    if hasattr(o.aval, "shape"))
+            rec = by_prim.setdefault(eqn.primitive.name, [0, 0])
+            rec[0] += 1
+            rec[1] += b
         for v in eqn.params.values():
             for sub in _subjaxprs(v):
-                walk_convs(sub, acc)
+                walk_convs(sub, acc, by_prim)
     return acc
 
 
@@ -86,8 +93,9 @@ def main():
 
     jaxpr = jax.make_jaxpr(tr.train_step_fn)(state, images, labels, lmask,
                                              lr, lr, lr)
+    by_prim = {}
     acc = walk_convs(jaxpr.jaxpr, {"n_convs": 0, "lhs_bytes": 0,
-                                   "rhs_bytes": 0, "out_bytes": 0})
+                                   "rhs_bytes": 0, "out_bytes": 0}, by_prim)
 
     n_params = sum(int(np.prod(x.shape))
                    for x in jax.tree.leaves(state["params"]))
@@ -124,6 +132,13 @@ def main():
         "fusion_headroom_x": round(measured / (min_bytes / 1e9), 2)
         if measured else None,
     }
+    # attribution of the XLA-vs-minimum gap: output bytes of every
+    # pre-fusion op by primitive — where XLA must work to fuse, and
+    # where the measured 73.6 GB plausibly lives (concat/select/BN
+    # elementwise chains over full activations)
+    top = sorted(by_prim.items(), key=lambda kv: -kv[1][1])[:20]
+    out["prefusion_output_gb_by_primitive"] = {
+        k: {"n": v[0], "gb": round(v[1] / 1e9, 2)} for k, v in top}
     os.makedirs(os.path.join(here, "reports"), exist_ok=True)
     with open(os.path.join(here, "reports/minimal_traffic.json"), "w") as f:
         json.dump(out, f, indent=1)
