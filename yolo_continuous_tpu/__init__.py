@@ -17,3 +17,25 @@ Reference parity citations use ``file:line`` into the upstream repo.
 """
 
 __version__ = "0.1.0"
+
+
+def _honor_jax_platforms_env():
+    """Restore the documented ``JAX_PLATFORMS`` semantics.
+
+    This deployment's TPU plugin ignores the env var and would still be
+    selected (dialing its remote device) at first backend init; mirroring
+    the env var into jax's config — which the plugin does honor — makes
+    ``JAX_PLATFORMS=cpu <any script>`` actually stay on CPU. No backend
+    is initialized here (tests/test_import_hygiene.py guards that), and
+    an already-initialized backend wins (RuntimeError swallowed)."""
+    import os
+    plats = os.environ.get("JAX_PLATFORMS", "").strip()
+    if plats:
+        import jax
+        try:
+            jax.config.update("jax_platforms", plats)
+        except (RuntimeError, ValueError):
+            pass
+
+
+_honor_jax_platforms_env()
