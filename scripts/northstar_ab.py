@@ -127,23 +127,25 @@ def cmd_calibrate(d, seconds=420):
           f"epochs for 4h = {int(4 * 3600 / (s_per_it * steps))}")
 
 
-def cmd_train_torch(d, seed):
+def cmd_train_torch(d, seed, plan=None):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    plan_file = plan or f"plan_torch_s{seed}.yaml"
     t0 = time.time()
     subprocess.run([sys.executable,
                     os.path.join(repo, "scripts/ref_train_driver.py"),
-                    os.path.join(d, f"plan_torch_s{seed}.yaml"), str(seed)],
+                    os.path.join(d, plan_file), str(seed)],
                    check=True)
-    print(f"torch seed {seed} trained in {time.time() - t0:.0f}s")
+    print(f"torch {plan_file} trained in {time.time() - t0:.0f}s")
 
 
-def cmd_train_ours(d, seed):
+def cmd_train_ours(d, seed, plan=None):
     from yolo_continuous_tpu.config.plan import TrainPlan
     from yolo_continuous_tpu.train.train_loop import Trainer
-    plan = TrainPlan(os.path.join(d, f"plan_ours_s{seed}.yaml"))
+    plan_file = plan or f"plan_ours_s{seed}.yaml"
+    plan = TrainPlan(os.path.join(d, plan_file))
     t0 = time.time()
     Trainer(plan).run()
-    print(f"ours seed {seed} trained in {time.time() - t0:.0f}s "
+    print(f"ours {plan_file} trained in {time.time() - t0:.0f}s "
           f"-> {plan.save_path}")
 
 
@@ -176,22 +178,50 @@ def _eval_ckpt(d, plan_file, torch_pth=None, conf=0.02, nms=0.45):
     return validate(plan, detector=det, conf_thres=conf, nms_thres=nms)
 
 
+def cmd_gen_epochs(d, epochs):
+    """Derive plan variants with a different epoch count from the base
+    plans (same dataset/anchors/hyperparams; the LR schedule spans the
+    new count on both sides). Written as plan_{arm}_e{N}.yaml with
+    save_name ab640_{arm}_e{N}."""
+    import yaml
+    for seed in OUR_SEEDS:
+        base = yaml.safe_load(open(os.path.join(d, f"plan_ours_s{seed}.yaml")))
+        base.update(epochs=epochs, save_name=f"ab640_ours_e{epochs}_s{seed}")
+        with open(os.path.join(d, f"plan_ours_e{epochs}_s{seed}.yaml"),
+                  "w") as f:
+            yaml.safe_dump(base, f)
+    for seed in TORCH_SEEDS:
+        base = yaml.safe_load(open(os.path.join(d,
+                                                f"plan_torch_s{seed}.yaml")))
+        base.update(epochs=epochs, save_name=f"ab640_torch_e{epochs}_s{seed}")
+        with open(os.path.join(d, f"plan_torch_e{epochs}_s{seed}.yaml"),
+                  "w") as f:
+            yaml.safe_dump(base, f)
+    print(f"wrote e{epochs} plan variants")
+
+
 def cmd_eval(d):
+    """Score every plan variant whose checkpoint exists (torch .pth via
+    the importer, ours .msgpack via the EMA tree)."""
+    import glob
+
+    import yaml
     out = os.path.join(d, "northstar_results.json")
     res = json.load(open(out)) if os.path.exists(out) else {}
-    for seed in OUR_SEEDS:
-        key = f"ours_s{seed}"
-        ck = os.path.join(d, f"ab640_ours_s{seed}.msgpack")
-        if key not in res and os.path.exists(ck):
-            res[key] = _eval_ckpt(d, f"plan_ours_s{seed}.yaml")
-            print(key, res[key])
-    for seed in TORCH_SEEDS:
-        key = f"torch_s{seed}"
-        pth = os.path.join(d, f"ab640_torch_s{seed}.pth")
-        if key not in res and os.path.exists(pth):
-            res[key] = _eval_ckpt(d, f"plan_torch_s{seed}.yaml",
-                                  torch_pth=pth)
-            print(key, res[key])
+    for pf in sorted(glob.glob(os.path.join(d, "plan_*.yaml"))):
+        key = os.path.basename(pf)[5:-5]
+        if key in res:
+            continue
+        cfg = yaml.safe_load(open(pf))
+        is_torch = key.startswith("torch")
+        ck = os.path.join(d, cfg["save_name"]
+                          + (".pth" if is_torch else ".msgpack"))
+        if not os.path.exists(ck):
+            continue
+        res[key] = _eval_ckpt(d, os.path.basename(pf),
+                              torch_pth=ck if is_torch else None)
+        res[key]["epochs"] = cfg["epochs"]
+        print(key, res[key])
     with open(out, "w") as f:
         json.dump(res, f, indent=1)
     return res
@@ -210,38 +240,49 @@ def cmd_report(d):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     res = json.load(open(os.path.join(d, "northstar_results.json")))
     meta = json.load(open(os.path.join(d, "meta.json")))
-    ours = {k: v for k, v in res.items() if k.startswith("ours_")}
-    torch_ = {k: v for k, v in res.items() if k.startswith("torch_")}
     lines = [MARK_BEGIN,
              "## North-star-shaped A/B @640 (scripts/northstar_ab.py)",
              "",
              f"20-class VOC-proxy set: {meta['n_train']} train / "
              f"{meta['n_val']} val @ **{meta['size']}px**, the "
-             f"cfg/voc_train.yaml recipe (SGD lrI .01 linear, 5-epoch "
-             f"warm-up, mosaic+mixup 0.5, matched always-on-mosaic "
-             f"semantics), {meta['epochs']} epochs, batch {meta['batch']}, "
-             "yolov7-tiny both arms (the only 640px config the torch "
-             "reference can train multi-epoch on this 1-core host; full "
-             "yolov7 runs 0.21 img/s here). Scored through the shared "
+             f"cfg/voc_train.yaml recipe (SGD lrI .01 linear decay, "
+             f"5-epoch warm-up, mosaic+mixup 0.5, matched always-on-"
+             f"mosaic semantics), batch {meta['batch']}, yolov7-tiny "
+             "both arms (the only 640px config the torch reference can "
+             "train multi-epoch on this 1-core host; full yolov7 runs "
+             "0.21 img/s here). Epoch count is the recipe's own scaling "
+             "knob (voc_train.yaml uses 500 for real VOC; the torch arm "
+             "costs ~18 min/epoch here). Scored through the shared "
              "evaluator; torch weights enter via the bit-parity-tested "
              "importer.",
-             "",
-             "| run | mAP@0.5 | mAP@0.5:0.95 |", "|---|---|---|"]
-    for k in sorted(ours) + sorted(torch_):
-        v = res[k]
-        lines.append(f"| {k} | {v['mAP@0.5']:.4f} | "
-                     f"{v['mAP@0.5:0.95']:.4f} |")
-    if ours and torch_:
-        om, osp = _stats([v["mAP@0.5"] for v in ours.values()])
-        tm, tsp = _stats([v["mAP@0.5"] for v in torch_.values()])
-        dd = om - tm
-        verdict = "PASS" if dd >= -0.2 else "FAIL"
-        lines += ["",
-                  f"Seed-mean mAP@0.5: ours {om:.4f} (spread {osp:.3f}, "
-                  f"n={len(ours)}) vs torch {tm:.4f} (spread {tsp:.3f}, "
-                  f"n={len(torch_)}); delta {dd:+.4f}.",
-                  f"North star (BASELINE.md): delta >= -0.2 at 640px -> "
-                  f"**{verdict}**."]
+             ""]
+    by_ep = {}
+    for k, v in res.items():
+        by_ep.setdefault(v.get("epochs", meta["epochs"]), {})[k] = v
+    verdicts = []
+    for ep in sorted(by_ep):
+        grp = by_ep[ep]
+        ours = {k: v for k, v in grp.items() if k.startswith("ours")}
+        torch_ = {k: v for k, v in grp.items() if k.startswith("torch")}
+        lines += [f"### {ep}-epoch budget", "",
+                  "| run | mAP@0.5 | mAP@0.5:0.95 |", "|---|---|---|"]
+        for k in sorted(ours) + sorted(torch_):
+            v = grp[k]
+            lines.append(f"| {k} | {v['mAP@0.5']:.4f} | "
+                         f"{v['mAP@0.5:0.95']:.4f} |")
+        if ours and torch_:
+            om, osp = _stats([v["mAP@0.5"] for v in ours.values()])
+            tm, tsp = _stats([v["mAP@0.5"] for v in torch_.values()])
+            dd = om - tm
+            verdicts.append(dd >= -0.2)
+            lines += ["",
+                      f"Seed-mean mAP@0.5: ours {om:.4f} (spread {osp:.3f},"
+                      f" n={len(ours)}) vs torch {tm:.4f} (spread {tsp:.3f}"
+                      f", n={len(torch_)}); delta {dd:+.4f}.", ""]
+    if verdicts:
+        v = "PASS" if all(verdicts) else "FAIL"
+        lines += [f"North star (BASELINE.md): delta >= -0.2 at 640px on "
+                  f"every budget -> **{v}**.", ""]
     lines.append(MARK_END)
     block = "\n".join(lines)
     out = os.path.join(repo, "PARITY_AB.md")
@@ -259,22 +300,27 @@ def cmd_report(d):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["gen", "calibrate", "train-torch",
-                                    "train-ours", "eval", "report"])
+    ap.add_argument("cmd", choices=["gen", "gen-epochs", "calibrate",
+                                    "train-torch", "train-ours", "eval",
+                                    "report"])
     ap.add_argument("--dir", default="/tmp/northstar_ab")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--plan", default=None,
+                    help="plan_<NAME>.yaml file name for train-*")
     args = ap.parse_args()
     d = args.dir
     os.makedirs(d, exist_ok=True)
     if args.cmd == "gen":
         cmd_gen(d, args.epochs)
+    elif args.cmd == "gen-epochs":
+        cmd_gen_epochs(d, args.epochs)
     elif args.cmd == "calibrate":
         cmd_calibrate(d)
     elif args.cmd == "train-torch":
-        cmd_train_torch(d, args.seed)
+        cmd_train_torch(d, args.seed, args.plan)
     elif args.cmd == "train-ours":
-        cmd_train_ours(d, args.seed)
+        cmd_train_ours(d, args.seed, args.plan)
     elif args.cmd == "eval":
         cmd_eval(d)
     elif args.cmd == "report":
