@@ -8,7 +8,11 @@ part; it must run before any jax backend is initialized.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCED assignment (not setdefault): this environment exports
+# JAX_PLATFORMS=axon globally, and the package __init__ mirrors the env
+# var into jax.config (the plugin honors only the config) — a leftover
+# "axon" here would re-point the whole suite at the remote device.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

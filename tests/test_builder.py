@@ -58,6 +58,16 @@ def test_model_info_table():
     assert "Model Summary: " in txt and "6065281" in txt.replace(",", "")
 
 
+def test_model_gflops():
+    """Forward-FLOPs estimate matches the published YOLOv7 figures
+    (tiny ~13.2 @640, yolov7 ~105 @640 — thop-style MACs*2)."""
+    from yolo_continuous_tpu.nn.builder import model_gflops
+    g_tiny = model_gflops(YoloModel(spec=_spec("yolov7-tiny", 20)), 640)
+    assert 12.0 < g_tiny < 15.0, g_tiny
+    g7 = model_gflops(YoloModel(spec=_spec("yolov7", 80)), 640)
+    assert 100.0 < g7 < 112.0, g7
+
+
 def test_strides_and_anchor_assignment():
     spec = _spec("yolov7-tiny", 20)
     assert spec.head_name == "Detect"

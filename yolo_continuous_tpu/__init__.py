@@ -32,6 +32,11 @@ def _honor_jax_platforms_env():
     plats = os.environ.get("JAX_PLATFORMS", "").strip()
     if plats:
         import jax
+        # NB mirrors the ENV VAR verbatim — a caller that wants a
+        # different platform than its environment (e.g. a test harness
+        # pinning cpu) must set os.environ["JAX_PLATFORMS"], not only
+        # jax.config (the config's env-derived default is exactly what
+        # the plugin ignores, so "config already set" is undetectable).
         try:
             jax.config.update("jax_platforms", plats)
         except (RuntimeError, ValueError):

@@ -172,7 +172,8 @@ def predict(cfg_file: str, image_path: str, conf_threshold: float = 0.3,
     det = detector or Detector(plan)
     if verbose:
         from .nn.builder import format_model_info
-        print(format_model_info(det.spec, det.params, plan.image_size))
+        print(format_model_info(det.spec, det.params, plan.image_size,
+                                model=det.model))
     size = (plan.image_size, plan.image_size)
 
     bgr = cv2.imread(image_path)

@@ -530,7 +530,55 @@ def model_info(spec: ModelSpec, params, image_size: int = 640):
     return rows, summary
 
 
-def format_model_info(spec: ModelSpec, params, image_size: int = 640) -> str:
+def model_gflops(model: "YoloModel", image_size: int = 640) -> float:
+    """Exact conv/matmul GFLOPs of one inference forward at the given
+    size (the reference reports thop-style MACs*2 in print_info;
+    nets/yolo.py:127-141). Computed by walking the traced jaxpr's
+    conv_general_dilated / dot_general equations — no compile, no
+    backend init (shape-level tracing only)."""
+    import jax
+    import numpy as np
+
+    c1 = model.spec.layers[0].c1
+    x = jax.ShapeDtypeStruct((1, image_size, image_size, int(c1)),
+                             jnp.float32)
+    vars_shape = jax.eval_shape(lambda k, im: model.init(k, im, False),
+                                jax.random.PRNGKey(0), x)
+    jaxpr = jax.make_jaxpr(lambda v, im: model.apply(v, im, False))(
+        vars_shape, x)
+
+    def subjaxprs(v):
+        if isinstance(v, jax.extend.core.Jaxpr):
+            yield v
+        elif isinstance(v, jax.extend.core.ClosedJaxpr):
+            yield v.jaxpr
+        elif isinstance(v, (list, tuple)):
+            for item in v:
+                yield from subjaxprs(item)
+
+    def walk(jxp):
+        total = 0
+        for eqn in jxp.eqns:
+            if eqn.primitive.name == "conv_general_dilated":
+                rhs = eqn.invars[1].aval     # (kh, kw, cin/g, cout)
+                out = eqn.outvars[0].aval
+                total += 2 * int(np.prod(out.shape)) * int(
+                    np.prod(rhs.shape[:-1]))
+            elif eqn.primitive.name == "dot_general":
+                ((lc, _), _) = eqn.params["dimension_numbers"]
+                lhs, out = eqn.invars[0].aval, eqn.outvars[0].aval
+                k = int(np.prod([lhs.shape[d] for d in lc]))
+                total += 2 * int(np.prod(out.shape)) * k
+            for v in eqn.params.values():
+                for sub in subjaxprs(v):
+                    total += walk(sub)
+        return total
+
+    return walk(jaxpr.jaxpr) / 1e9
+
+
+def format_model_info(spec: ModelSpec, params, image_size: int = 640,
+                      model: "YoloModel" = None) -> str:
     rows, summary = model_info(spec, params, image_size)
     lines = [f"{'':>3}{'from':>18}{'n':>3}{'params':>10}  "
              f"{'module':<22}{'arguments'}"]
@@ -538,6 +586,13 @@ def format_model_info(spec: ModelSpec, params, image_size: int = 640) -> str:
         lines.append(f"{r['i']:>3}{str(r['from']):>18}{r['n']:>3}"
                      f"{r['params']:>10}  {r['module']:<22}"
                      f"{r['arguments']}")
+    tail = ""
+    if model is not None:
+        try:
+            tail = (f", {model_gflops(model, image_size):.1f} GFLOPs "
+                    f"@ {image_size}px")
+        except Exception:
+            pass
     lines.append(f"Model Summary: {summary['layers']} layers, "
-                 f"{summary['parameters']} parameters")
+                 f"{summary['parameters']} parameters{tail}")
     return "\n".join(lines)

@@ -404,5 +404,5 @@ def train(train_cfg_file: str, verbose: bool = False, **kw):
         from ..nn.builder import format_model_info
         state = trainer.init_state(jax.random.PRNGKey(plan.seed))
         print(format_model_info(trainer.spec, state["params"],
-                                plan.image_size))
+                                plan.image_size, model=trainer.model))
     return trainer.run()
