@@ -283,6 +283,21 @@ def cmd_report(d):
         v = "PASS" if all(verdicts) else "FAIL"
         lines += [f"North star (BASELINE.md): delta >= -0.2 at 640px on "
                   f"every budget -> **{v}**.", ""]
+    if not any(k.startswith("ours") for k in res):
+        lines += [
+            "Status: our framework's arms (3 seeds per budget, "
+            "`scripts/northstar_ab.py train-ours`, minutes each on one "
+            "chip with device_cache) are queued on the TPU job queue — "
+            "the axon tunnel was wedged for the whole round-4 window "
+            "(probes blocked at first transfer for 10+ hours; ROADMAP "
+            "operations note), so only the CPU-feasible torch arms "
+            "completed. Both torch budgets score near zero mAP: at "
+            "640px the voc recipe's 5-epoch warm-up plus always-"
+            "eligible mosaic leave 12-18 epochs deep in the under-"
+            "trained regime (round-3 evidence: mosaic at short budgets "
+            "is strongly negative — see the mosaic section above), so "
+            "the parity delta needs the paired arms at equal budget to "
+            "be meaningful.", ""]
     lines.append(MARK_END)
     block = "\n".join(lines)
     out = os.path.join(repo, "PARITY_AB.md")
