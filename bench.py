@@ -139,11 +139,24 @@ def bench_train(batch, size=640, iters=20, extra_cfg=None,
     return iters * batch / dt
 
 
-def section_train(batches):
+# train-step lever configurations swept by the train section. bn_remat
+# (plan key; layers.bn_tail_remat) checkpoints each BN+act tail so the
+# backward saves only conv outputs — attacks the 3.57x fusion-headroom
+# residue in reports/minimal_traffic.json. Numerics are bit-identical
+# (tests/test_bn_remat.py), so whichever mode is faster is simply the
+# better compilation of the SAME step.
+TRAIN_MODES = {
+    "base": {},
+    "bn_remat": {"bn_remat": True},
+}
+
+
+def section_train(batches, mode="base"):
     _setup_cache()
     sweep = {}
     for b in batches:
-        sweep[str(b)] = round(bench_train(b), 2)
+        key = str(b) if mode == "base" else f"{b}/{mode}"
+        sweep[key] = round(bench_train(b, extra_cfg=TRAIN_MODES[mode]), 2)
     print(json.dumps({"train_sweep": sweep}))
 
 
@@ -268,7 +281,12 @@ def main():
         if name == "probe":
             section_probe()
         elif name == "train":
-            section_train([int(b) for b in rest] or [16, 32])
+            mode = "base"
+            if "--mode" in rest:
+                j = rest.index("--mode")
+                mode = rest[j + 1]
+                rest = rest[:j] + rest[j + 2:]
+            section_train([int(b) for b in rest] or [16, 32], mode)
         elif name == "infer":
             section_infer()
         return
@@ -290,18 +308,22 @@ def main():
                       f"({PROBE_RETRIES}x{PROBE_TIMEOUT}s + cooldowns)")
 
     if healthy:
-        out, err = _with_retry(["--section", "train"] + batches,
-                               TRAIN_TIMEOUT, log)
-        if out:
-            sweep = {k: v for k, v in out["train_sweep"].items()
-                     if v and v > 0}
-            if sweep:
-                best_bs = max(sweep, key=sweep.get)
-                result["value"] = sweep[best_bs]
-                result["metric"] += f" bs={best_bs}"
-                result["train_sweep"] = out["train_sweep"]
-        if err:
-            errors.append(err)
+        modes = os.environ.get("BENCH_TRAIN_MODES", "base,bn_remat").split(",")
+        sweep = {}
+        for mode in [m for m in modes if m in TRAIN_MODES]:
+            out, err = _with_retry(
+                ["--section", "train", "--mode", mode] + batches,
+                TRAIN_TIMEOUT, log)
+            if out:
+                sweep.update(out["train_sweep"])
+            if err:
+                errors.append(err)
+        good = {k: v for k, v in sweep.items() if v and v > 0}
+        if good:
+            best = max(good, key=good.get)
+            result["value"] = good[best]
+            result["metric"] += f" bs={best}"
+            result["train_sweep"] = sweep
 
         out, err = _with_retry(["--section", "infer"], INFER_TIMEOUT, log)
         if out:

@@ -30,6 +30,9 @@ MODES = {
     "remat-full": ({"remat": True}, "float32"),
     "bf16-img": (None, "bfloat16"),
     "remat-conv+bf16-img": ({"remat": "conv"}, "bfloat16"),
+    # per-block BN+act tail checkpointing (layers.bn_tail_remat): saves
+    # only conv outputs for the backward; bit-identical numerics
+    "bn-remat": ({"bn_remat": True}, "float32"),
 }
 
 

@@ -25,6 +25,10 @@ import bench  # noqa: E402  (repo-root bench.py)
 
 MODES = {
     "base": dict(extra_cfg=None, image_dtype="float32"),
+    # per-block BN+act tail checkpointing (layers.bn_tail_remat):
+    # bit-identical numerics (tests/test_bn_remat.py), saves only conv
+    # outputs as backward residuals
+    "bn-remat": dict(extra_cfg={"bn_remat": True}, image_dtype="float32"),
     "remat-conv": dict(extra_cfg={"remat": "conv"}, image_dtype="float32"),
     "remat-dots": dict(extra_cfg={"remat": "dots"}, image_dtype="float32"),
     "remat-full": dict(extra_cfg={"remat": True}, image_dtype="float32"),

@@ -1,0 +1,86 @@
+"""bn_remat (per-block BN+act tail checkpointing) is a pure HBM-traffic
+lever: it must not change ANY numbers. These tests pin loss, gradients,
+and running batch stats to the non-remat path bit-for-bit (fp32 CPU: the
+chunk recomputes the identical op sequence, so equality is exact).
+
+Reference context: the step it accelerates is the reference's
+train.py:79-88 fwd/bwd; the residue it removes is quantified in
+reports/minimal_traffic.json.
+"""
+import numpy as np
+import pytest
+import yaml
+
+import jax
+import jax.numpy as jnp
+
+from yolo_continuous_tpu.config.plan import TrainPlan
+from yolo_continuous_tpu.nn import layers as L
+from yolo_continuous_tpu.train.train_loop import Trainer
+
+
+class _Net(L.nn.Module):
+    @L.nn.compact
+    def __call__(self, x, train=False):
+        x = L.Conv(8, 3, 1, name="c1")(x, train)
+        x = L.Conv(16, 3, 2, act=("leaky_relu", 0.1), name="c2")(x, train)
+        x = L.RepConv(16, 16, name="rc")(x, train)
+        return x
+
+
+def test_layer_grads_bitwise_equal():
+    net = _Net()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    v = net.init(jax.random.PRNGKey(1), x, False)
+
+    def loss_fn(params, flag):
+        with L.bn_tail_remat(flag):
+            out, mut = net.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                x, True, mutable=["batch_stats"])
+        return jnp.sum(out ** 2), mut["batch_stats"]
+
+    (l0, bs0), g0 = jax.jit(jax.value_and_grad(
+        lambda p: loss_fn(p, False), has_aux=True))(v["params"])
+    (l1, bs1), g1 = jax.jit(jax.value_and_grad(
+        lambda p: loss_fn(p, True), has_aux=True))(v["params"])
+    assert l0 == l1
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(bs0), jax.tree.leaves(bs1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eval_path_ignores_flag():
+    net = _Net()
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 3))
+    v = net.init(jax.random.PRNGKey(1), x, False)
+    y0 = net.apply(v, x, False)
+    with L.bn_tail_remat(True):
+        y1 = net.apply(v, x, False)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+
+@pytest.mark.parametrize("size", [64])
+def test_train_step_bitwise_equal(size, tmp_path):
+    """Full Trainer train_step_fn (yolov7-tiny graph, loss, optimizer,
+    EMA) with plan key bn_remat on vs off: identical new state."""
+    cfg = yaml.safe_load(open("cfg/chip_tiny.yaml"))
+    cfg.update(dict(image_size=size, batch_size=2, max_boxes=8,
+                    save_dir=str(tmp_path), save_name="t"))
+    out = {}
+    for flag in (False, True):
+        cfg["bn_remat"] = flag
+        tr = Trainer(TrainPlan(cfg), dtype=jnp.float32)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        images = jax.random.uniform(jax.random.PRNGKey(1),
+                                    (2, size, size, 3))
+        labels = jnp.tile(jnp.array([[0.0, 0.3, 0.3, 0.2, 0.2]]), (2, 8, 1))
+        lmask = jnp.zeros((2, 8), bool).at[:, 0].set(True)
+        new_state, logs = jax.jit(tr.train_step_fn)(
+            state, images, labels, lmask, 0.01, 0.1, 0.937)
+        out[flag] = (new_state, logs)
+    (s0, l0), (s1, l1) = out[False], out[True]
+    assert float(l0["loss"]) == float(l1["loss"])
+    for a, b in zip(jax.tree.leaves(s0), jax.tree.leaves(s1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -332,9 +332,17 @@ class YoloModel(nn.Module):
     # serving option: eligible top-level 1x1 Conv tails run as the fused
     # Pallas matmul+BN+SiLU kernel at inference (layers.Conv.fused_tail)
     fused_tails: bool = False
+    # train-step HBM-traffic option (plan key ``bn_remat``): BN+act tails
+    # compute inside per-block jax.checkpoint chunks, so the backward
+    # keeps only conv outputs as residuals (layers.bn_tail_remat)
+    bn_remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        with L.bn_tail_remat(self.bn_remat and train):
+            return self._walk(x, train)
+
+    def _walk(self, x, train: bool):
         saved = {}
         out = x.astype(self.dtype)
         for s in self.spec.layers:

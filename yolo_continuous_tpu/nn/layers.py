@@ -21,6 +21,7 @@ output at init; upstream YOLOR uses mean=1.
 """
 from __future__ import annotations
 
+import contextlib
 import math
 from math import prod as np_prod
 from typing import Any, Optional, Sequence, Tuple, Union
@@ -28,6 +29,7 @@ from typing import Any, Optional, Sequence, Tuple, Union
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 # Activation spec: True -> SiLU (reference default), a str name, or
 # ("leaky_relu", slope) parsed from YAML strings like "nn.LeakyReLU(0.1)".
@@ -43,6 +45,40 @@ def autopad(k: int, p: Optional[int] = None) -> int:
     if p is None:
         p = k // 2 if isinstance(k, int) else [x // 2 for x in k]
     return p
+
+
+# --------------------------------------------------------------------------
+# BN-tail rematerialization (trace-time flag)
+#
+# The yolov7@640 train step is HBM-bound and XLA's autodiff materializes
+# the BN+activation gradient chain of every conv block (the 3.57x
+# fusion-headroom residue in reports/minimal_traffic.json: 34.4 GB of
+# pre-fusion `mul` outputs alone). With the flag on, each BatchNorm
+# computes its normalize+activation inside a per-block ``jax.checkpoint``
+# chunk whose only saveables are the (c,)-sized batch stats — so the
+# backward keeps just the CONV output as residual and re-derives the
+# elementwise tail locally, where XLA fuses it into the gradient pass
+# instead of round-tripping saved intermediates through HBM. Unlike the
+# whole-forward ``remat`` plan key (measured SLOWER: 114.7 vs 73.6
+# GB/step, reports/cost_analysis.json), the chunk is one block wide, so
+# nothing expensive recomputes and nothing re-reads distant activations.
+# Enable per-model via ``YoloModel(bn_remat=True)`` / plan key
+# ``bn_remat``; numerics are identical (same ops, same order).
+# --------------------------------------------------------------------------
+
+_BN_TAIL_REMAT = [False]
+
+
+@contextlib.contextmanager
+def bn_tail_remat(enabled: bool):
+    """Trace-time context: BatchNorm tails under this scope use the
+    per-block checkpoint chunk (train mode only)."""
+    prev = _BN_TAIL_REMAT[0]
+    _BN_TAIL_REMAT[0] = bool(enabled)
+    try:
+        yield
+    finally:
+        _BN_TAIL_REMAT[0] = prev
 
 
 def apply_act(x: jnp.ndarray, act: ActSpec) -> jnp.ndarray:
@@ -146,10 +182,10 @@ class BatchNorm(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, act: ActSpec = None):
         # inner module named 'bn' keeps the parameter tree layout of the
         # previous flax.BatchNorm version (.../bn/bn/{scale,bias,mean,var})
-        return _BNCore(self.momentum, self.epsilon, name="bn")(x, train)
+        return _BNCore(self.momentum, self.epsilon, name="bn")(x, train, act)
 
 
 class _BNCore(nn.Module):
@@ -157,7 +193,7 @@ class _BNCore(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, act: ActSpec = None):
         c = x.shape[-1]
         scale = self.param("scale", _bn_scale_init, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
@@ -166,22 +202,59 @@ class _BNCore(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((c,), jnp.float32))
         if train:
-            xf = x.astype(jnp.float32)
-            axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(xf, axes)
-            mean2 = jnp.mean(jnp.square(xf), axes)
-            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if _BN_TAIL_REMAT[0]:
+                out, mean, var = _bn_act_tail_remat(
+                    x, scale, bias, self.epsilon, act)
+            else:
+                mean, var = _batch_stats(x)
+                out = _normalize(x, scale, bias, mean, var,
+                                 self.epsilon, act)
             if not self.is_initializing():
                 m = self.momentum
                 n = float(np_prod(x.shape[:-1]))
                 unbiased = var * (n / max(n - 1.0, 1.0))  # torch running-var
                 ra_mean.value = m * ra_mean.value + (1 - m) * mean
                 ra_var.value = m * ra_var.value + (1 - m) * unbiased
-        else:
-            mean, var = ra_mean.value, ra_var.value
-        inv = scale * jax.lax.rsqrt(var + self.epsilon)
-        shift = bias - mean * inv
-        return x * inv.astype(x.dtype) + shift.astype(x.dtype)
+            return out
+        return _normalize(x, scale, bias, ra_mean.value, ra_var.value,
+                          self.epsilon, act)
+
+
+def _batch_stats(x):
+    xf = x.astype(jnp.float32)
+    axes = tuple(range(x.ndim - 1))
+    mean = jnp.mean(xf, axes)
+    mean2 = jnp.mean(jnp.square(xf), axes)
+    var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+    return mean, var
+
+
+def _normalize(x, scale, bias, mean, var, epsilon, act: ActSpec):
+    inv = scale * jax.lax.rsqrt(var + epsilon)
+    shift = bias - mean * inv
+    return apply_act(x * inv.astype(x.dtype) + shift.astype(x.dtype), act)
+
+
+def _bn_act_tail_remat(x, scale, bias, epsilon, act: ActSpec):
+    """Per-block checkpoint chunk: batch stats + normalize + activation.
+
+    Residuals kept for the backward: the chunk INPUTS (the conv output x,
+    which is live anyway as the next conv's lhs, plus the two (c,) param
+    vectors) and the checkpoint-named (c,)-sized batch stats. Everything
+    else — x_hat, the pre-activation z, sigmoid(z), and the backward's
+    elementwise mul chain — is recomputed inside the chunk, where it
+    fuses into the single gradient pass over x/dy instead of being
+    materialized to HBM by the forward."""
+
+    def tail(x, scale, bias):
+        mean, var = _batch_stats(x)
+        mean = checkpoint_name(mean, "bn_stats")
+        var = checkpoint_name(var, "bn_stats")
+        return _normalize(x, scale, bias, mean, var, epsilon, act), mean, var
+
+    tail = jax.checkpoint(
+        tail, policy=jax.checkpoint_policies.save_only_these_names("bn_stats"))
+    return tail(x, scale, bias)
 
 
 def _bn_scale_init(key, shape, dtype=jnp.float32):
@@ -332,8 +405,9 @@ class Conv(nn.Module):
                 x.astype(self.dtype), kernel[0, 0].astype(self.dtype),
                 inv, shift, interpret=jax.default_backend() != "tpu")
         x = conv2d(self, x, self.c2, self.k, self.s, self.p, self.g, dtype=self.dtype)
-        x = BatchNorm(name="bn")(x, train)
-        return apply_act(x, self.act)
+        # activation applied inside BatchNorm so the bn_remat chunk spans
+        # the whole elementwise tail (identical math either way)
+        return BatchNorm(name="bn")(x, train, act=self.act)
 
 
 class DWConv(nn.Module):

@@ -41,8 +41,9 @@ class BConv(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = conv2d(self, x, self.c2, self.k, self.s, dtype=self.dtype)
-        x = BatchNorm(momentum=0.97, epsilon=1e-3, name="bn")(x, train)
-        return nn.silu(x)
+        # act inside BatchNorm: spans the bn_remat chunk (same math)
+        return BatchNorm(momentum=0.97, epsilon=1e-3, name="bn")(x, train,
+                                                                 act="silu")
 
 
 class Block(nn.Module):

@@ -87,11 +87,17 @@ class Trainer:
         # headroom; the step is HBM-bandwidth-bound per the roofline in
         # README.md) for activation traffic. Plan key `remat` overrides.
         self.remat = plan.cfg.get("remat", False) if remat is None else remat
+        # per-block BN+act tail checkpointing (layers.bn_tail_remat): cuts
+        # the backward's saved-residual HBM traffic without recomputing
+        # convs — unlike the whole-forward `remat` above. Plan key
+        # `bn_remat`; orthogonal to (and composable with) `remat`.
+        self.bn_remat = bool(plan.cfg.get("bn_remat", False))
 
         model_cfg = cvt_cfg(plan.model_cfg)
         self.spec = build_model_spec(model_cfg, plan.image_chan, plan.anchors,
                                      plan.num_labels, plan.anchors_mask)
-        self.model = YoloModel(spec=self.spec, dtype=self.dtype)
+        self.model = YoloModel(spec=self.spec, dtype=self.dtype,
+                               bn_remat=self.bn_remat)
         self.nl = len(self.spec.strides)
 
         self.loss_cfg = LossConfig(
