@@ -192,3 +192,79 @@ def test_submit_timeout_returns_none():
         assert time.monotonic() - t0 < 1.5
     finally:
         eng.close()
+
+
+def test_serve_multi_model_stats_and_conf():
+    """Multi-model routing (POST /detect/<name>), /models + /stats
+    monitoring endpoints, and the per-request ?conf= post-filter."""
+    cv2 = pytest.importorskip("cv2")
+    from yolo_continuous_tpu.serve import make_multi_server
+
+    plan_a, plan_b = _tiny_plan(), _tiny_plan()
+    plan_a.save_path = plan_b.save_path = "/nonexistent/x.msgpack"
+    det_a = Detector(plan_a, dtype=jnp.float32)
+    det_b = Detector(plan_b, dtype=jnp.float32)
+    port = _free_port()
+    srv = make_multi_server({"a": (plan_a, det_a), "b": (plan_b, det_b)},
+                            port=port, batch_size=2, max_wait_ms=5.0,
+                            conf=0.0, nms=0.5)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert set(health["models"]) == {"a", "b"}
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/models", timeout=30) as r:
+            models = json.loads(r.read())
+        assert models["a"]["labels"] == ["a", "b"]
+        assert models["b"]["image_size"] == 64
+
+        img = np.full((48, 80, 3), 120, np.uint8)
+        cv2.rectangle(img, (10, 10), (40, 35), (230, 40, 40), -1)
+        ok, enc = cv2.imencode(".jpg", img)
+        assert ok
+
+        def post(path):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}", data=enc.tobytes(),
+                headers={"Content-Type": "image/jpeg"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return json.loads(r.read())
+
+        res_a = post("/detect/a")            # named route
+        res_default = post("/detect")        # default = first entry ("a")
+        assert res_a == res_default
+        res_b = post("/detect/b")            # independent engine, same cfg
+        assert set(res_b) == {"boxes", "scores", "classes", "labels"}
+
+        # per-request conf post-filter: strictly fewer-or-equal results,
+        # and every surviving score clears the threshold
+        if res_a["scores"]:
+            cut = sorted(res_a["scores"])[len(res_a["scores"]) // 2]
+            res_cut = post(f"/detect/a?conf={cut}")
+            assert len(res_cut["scores"]) <= len(res_a["scores"])
+            assert all(s >= cut for s in res_cut["scores"])
+
+        # unknown model -> 404 with the model list
+        try:
+            post("/detect/nope")
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            body = json.loads(e.read())
+            assert e.code == 404 and set(body["models"]) == {"a", "b"}
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/stats", timeout=30) as r:
+            stats = json.loads(r.read())
+        assert stats["a"]["requests"] >= 3
+        assert stats["a"]["batches"] >= 1
+        assert stats["a"]["latency_ms"]["p50"] > 0
+        assert stats["b"]["requests"] == 1
+        assert stats["a"]["timeouts"] == 0
+    finally:
+        srv.shutdown()
+        for e in srv.engines.values():
+            e.close()

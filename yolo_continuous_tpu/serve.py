@@ -24,18 +24,31 @@ fixed shapes) into a production-style microservice:
   server still runs and returns 503 with an explanatory error).
 
 Endpoints:
-    POST /detect   body = JPEG/PNG bytes -> JSON {boxes, scores,
-                   classes, labels} in original-image pixel coordinates
-    GET  /healthz  -> {"ok": true, "batch": N}
+    POST /detect          body = JPEG/PNG bytes -> JSON {boxes, scores,
+                          classes, labels} in original-image pixel
+                          coordinates. Optional ``?conf=0.6`` raises the
+                          score threshold for THIS request (host-side
+                          post-filter; it can only tighten the engine's
+                          batch threshold, never loosen it).
+    POST /detect/<model>  same, routed to a named model
+                          (multi-model serving, ``make_multi_server``)
+    GET  /healthz         -> {"ok": true, "models": {...}}
+    GET  /models          -> per-model config (image size, labels, batch)
+    GET  /stats           -> per-model live counters: requests, batches,
+                          mean batch fill, errors, request-latency
+                          p50/p95/max ms (monitoring surface)
 
 Run: python -m yolo_continuous_tpu.serve cfg/chip_tiny.yaml --port 8100
+Multi-model: ... serve cfg/a.yaml --model tiny=cfg/b.yaml --model x=cfg/c.yaml
 """
 from __future__ import annotations
 
+import collections
 import json
 import queue
 import threading
 import time
+import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional
 
@@ -79,6 +92,15 @@ class BatchingEngine:
         self.size = (detector.plan.image_size, detector.plan.image_size)
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
+        # live monitoring counters (GET /stats)
+        self._stats_lock = threading.Lock()
+        self._t0 = time.monotonic()
+        self._n_requests = 0
+        self._n_timeouts = 0
+        self._n_batches = 0
+        self._n_batched_reqs = 0
+        self._n_errors = 0
+        self._latencies = collections.deque(maxlen=512)  # seconds
         if warmup:
             # compile the fixed-shape serving graph NOW: a lazy first
             # compile through the TPU tunnel can exceed any sane client
@@ -90,15 +112,57 @@ class BatchingEngine:
         self._worker.start()
 
     # -- client side -----------------------------------------------------
-    def submit(self, rgb: np.ndarray,
-               timeout: Optional[float] = None) -> Optional[dict]:
+    def submit(self, rgb: np.ndarray, timeout: Optional[float] = None,
+               conf: Optional[float] = None) -> Optional[dict]:
+        """Block until this image's detections are ready.
+
+        ``conf``: optional per-request score threshold — a host-side
+        post-filter on the shared batch's results (the device batch runs
+        at the engine's threshold, so a request can only tighten it)."""
+        t_in = time.monotonic()
         img, _, _ = self._letterbox(rgb, self.size, (114, 114, 114))
         p = _Pending(np.asarray(img, np.float32) / 255.0, rgb.shape[:2])
+        with self._stats_lock:
+            self._n_requests += 1
         self._q.put(p)
         if not p.event.wait(self.submit_timeout if timeout is None
                             else timeout):
+            with self._stats_lock:
+                self._n_timeouts += 1
             return None
-        return p.result
+        with self._stats_lock:
+            self._latencies.append(time.monotonic() - t_in)
+        res = p.result
+        if (conf is not None and res is not None and "scores" in res
+                and conf > self.conf):
+            keep = [i for i, s in enumerate(res["scores"]) if s >= conf]
+            res = {k: ([v[i] for i in keep] if isinstance(v, list) else v)
+                   for k, v in res.items()}
+        return res
+
+    def stats(self) -> dict:
+        """Live counters for the /stats monitoring endpoint."""
+        with self._stats_lock:
+            lats = sorted(self._latencies)
+            n_b = self._n_batches
+            out = {
+                "uptime_s": round(time.monotonic() - self._t0, 1),
+                "requests": self._n_requests,
+                "timeouts": self._n_timeouts,
+                "batches": n_b,
+                "mean_batch_fill": round(self._n_batched_reqs / n_b, 3)
+                if n_b else None,
+                "batch_errors": self._n_errors,
+            }
+            if lats:
+                out["latency_ms"] = {
+                    "p50": round(lats[len(lats) // 2] * 1e3, 2),
+                    "p95": round(lats[int(len(lats) * 0.95)
+                                      if len(lats) > 1 else 0] * 1e3, 2),
+                    "max": round(lats[-1] * 1e3, 2),
+                    "window": len(lats),
+                }
+        return out
 
     # -- device side -----------------------------------------------------
     def _drain(self) -> List[_Pending]:
@@ -149,9 +213,14 @@ class BatchingEngine:
                                    else str(c) for c in cls],
                     }
             except Exception as e:      # a bad batch must not kill serving
+                with self._stats_lock:
+                    self._n_errors += 1
                 for p in batch:
                     p.result = {"error": f"{type(e).__name__}: {e}"}
             finally:
+                with self._stats_lock:
+                    self._n_batches += 1
+                    self._n_batched_reqs += len(batch)
                 for p in batch:
                     p.event.set()
 
@@ -159,17 +228,32 @@ class BatchingEngine:
         self._stop.set()
 
 
-def make_server(plan, host: str = "127.0.0.1", port: int = 8100,
-                batch_size: int = 8, max_wait_ms: float = 5.0,
-                conf: float = 0.3, nms: float = 0.45,
-                detector=None, submit_timeout: float = 60.0,
-                warmup: bool = True) -> ThreadingHTTPServer:
-    """Build (not start) the HTTP server; caller runs serve_forever()."""
+def make_multi_server(models: dict, host: str = "127.0.0.1",
+                      port: int = 8100, batch_size: int = 8,
+                      max_wait_ms: float = 5.0, conf: float = 0.3,
+                      nms: float = 0.45, submit_timeout: float = 60.0,
+                      warmup: bool = True) -> ThreadingHTTPServer:
+    """Multi-model server: ``models`` maps name -> plan (or
+    ``(plan, detector)`` to reuse a built Detector). Each model gets its
+    own BatchingEngine (own compiled graph, queue, worker, stats);
+    ``POST /detect/<name>`` routes to it, ``POST /detect`` to the first
+    entry. Build only (caller runs serve_forever())."""
     from .detect_api import Detector
 
-    det = detector or Detector(plan)
-    engine = BatchingEngine(det, batch_size, max_wait_ms, conf, nms,
-                            submit_timeout=submit_timeout, warmup=warmup)
+    engines, default_name = {}, None
+    for name, entry in models.items():
+        plan, det = entry if isinstance(entry, tuple) else (entry, None)
+        det = det or Detector(plan)
+        engines[name] = BatchingEngine(
+            det, batch_size, max_wait_ms, conf, nms,
+            submit_timeout=submit_timeout, warmup=warmup)
+        default_name = default_name or name
+
+    def _model_info(name):
+        e = engines[name]
+        return {"image_size": e.size[0], "batch": e.batch_size,
+                "conf": e.conf, "nms": e.nms,
+                "labels": list(e.det.plan.labels)}
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):     # quiet
@@ -184,20 +268,43 @@ def make_server(plan, host: str = "127.0.0.1", port: int = 8100,
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path == "/healthz":
-                self._json(200, {"ok": True, "batch": engine.batch_size,
-                                 "image_size": engine.size[0]})
+            path = urllib.parse.urlparse(self.path).path
+            if path == "/healthz":
+                d = engines[default_name]
+                self._json(200, {"ok": True, "batch": d.batch_size,
+                                 "image_size": d.size[0],
+                                 "models": {n: {"batch": e.batch_size,
+                                                "image_size": e.size[0]}
+                                            for n, e in engines.items()}})
+            elif path == "/models":
+                self._json(200, {n: _model_info(n) for n in engines})
+            elif path == "/stats":
+                self._json(200, {n: e.stats() for n, e in engines.items()})
             else:
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path != "/detect":
+            url = urllib.parse.urlparse(self.path)
+            parts = url.path.strip("/").split("/")
+            if parts[0] != "detect" or len(parts) > 2:
                 self._json(404, {"error": "not found"})
+                return
+            name = parts[1] if len(parts) == 2 else default_name
+            engine = engines.get(name)
+            if engine is None:
+                self._json(404, {"error": f"unknown model {name!r}",
+                                 "models": list(engines)})
                 return
             if cv2 is None:
                 self._json(503, {"error": "cv2 is not available: the "
                                           "server cannot decode image "
                                           "bytes on this host"})
+                return
+            q = urllib.parse.parse_qs(url.query)
+            try:
+                req_conf = float(q["conf"][0]) if "conf" in q else None
+            except ValueError:
+                self._json(400, {"error": "bad conf parameter"})
                 return
             length = int(self.headers.get("Content-Length", 0))
             raw = self.rfile.read(length)
@@ -207,15 +314,27 @@ def make_server(plan, host: str = "127.0.0.1", port: int = 8100,
                 self._json(400, {"error": "undecodable image"})
                 return
             rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
-            res = engine.submit(rgb)
+            res = engine.submit(rgb, conf=req_conf)
             if res is None:
                 self._json(503, {"error": "timeout"})
                 return
             self._json(500 if "error" in res else 200, res)
 
     srv = ThreadingHTTPServer((host, port), Handler)
-    srv.engine = engine
+    srv.engines = engines
+    srv.engine = engines[default_name]      # back-compat single-model attr
     return srv
+
+
+def make_server(plan, host: str = "127.0.0.1", port: int = 8100,
+                batch_size: int = 8, max_wait_ms: float = 5.0,
+                conf: float = 0.3, nms: float = 0.45,
+                detector=None, submit_timeout: float = 60.0,
+                warmup: bool = True) -> ThreadingHTTPServer:
+    """Single-model server (the multi-model server with one entry)."""
+    return make_multi_server({"default": (plan, detector)}, host, port,
+                             batch_size, max_wait_ms, conf, nms,
+                             submit_timeout, warmup)
 
 
 def main():
@@ -223,7 +342,11 @@ def main():
     import os
 
     ap = argparse.ArgumentParser(description="Batched detection server")
-    ap.add_argument("cfg")
+    ap.add_argument("cfg", help="default model's train-plan YAML")
+    ap.add_argument("--model", action="append", default=[],
+                    metavar="NAME=CFG",
+                    help="serve an additional named model "
+                         "(POST /detect/NAME); repeatable")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8100)
     ap.add_argument("--batch", type=int, default=8)
@@ -240,11 +363,16 @@ def main():
         select_device(args.device)
 
     from .config.plan import TrainPlan, check_file
-    plan = TrainPlan(check_file(args.cfg))
-    srv = make_server(plan, args.host, args.port, args.batch,
-                      args.max_wait_ms, args.conf, args.nms,
-                      submit_timeout=args.submit_timeout)
-    print(f"serving {plan.save_path} on {args.host}:{args.port} "
+    models = {"default": TrainPlan(check_file(args.cfg))}
+    for spec in args.model:
+        name, _, cfg = spec.partition("=")
+        if not cfg:
+            ap.error(f"--model expects NAME=CFG, got {spec!r}")
+        models[name] = TrainPlan(check_file(cfg))
+    srv = make_multi_server(models, args.host, args.port, args.batch,
+                            args.max_wait_ms, args.conf, args.nms,
+                            submit_timeout=args.submit_timeout)
+    print(f"serving {list(models)} on {args.host}:{args.port} "
           f"(batch {args.batch})")
     srv.serve_forever()
 
