@@ -214,6 +214,18 @@ def section_infer(batch=16, size=640, iters=24):
                for _ in range(NVAR)]
     dt1 = chained(step, singles, lambda o: jnp.sum(o[1]) * 1e-12, iters)
 
+    # serve-latency variant: the fused Pallas 1x1 matmul+BN+SiLU neck
+    # tails (layers.Conv.fused_tail; 1.45x on the widest shape,
+    # reports/fused_tail_bench.log) on the single-image path they serve
+    det_f = Detector(plan, head_dtype=jnp.bfloat16, fused_tails=True)
+    infer_f = det_f._build_infer(0.25, 0.45, 300)
+
+    @jax.jit
+    def step_f(x, carry):
+        return infer_f(det_f.params, det_f.batch_stats, x + carry)
+
+    dt1_f = chained(step_f, singles, lambda o: jnp.sum(o[1]) * 1e-12, iters)
+
     preds = [jnp.asarray(
         np.concatenate([rs.rand(25200, 2), rs.rand(25200, 2) * 0.1 + 0.01,
                         rs.rand(25200, 1), rs.rand(25200, 80)], -1),
@@ -222,6 +234,7 @@ def section_infer(batch=16, size=640, iters=24):
     nms_dt = chained(f, preds, lambda o: jnp.sum(o[1]) * 1e-12, 40)
     print(json.dumps({"infer_img_s": round(infer_ips, 2),
                       "infer_1_ms": round(dt1 * 1000.0, 3),
+                      "infer_1_ms_fused_tails": round(dt1_f * 1000.0, 3),
                       "nms_p50_ms": round(nms_dt * 1000.0, 3)}))
 
 
