@@ -232,3 +232,33 @@ def test_export_roundtrip(torch_ref):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(jax.tree.leaves(v["batch_stats"]), jax.tree.leaves(b2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_checkpoint_cli(torch_ref, tmp_path):
+    """tools.torch_export.export_checkpoint: .msgpack checkpoint ->
+    .pth that the reference Model accepts (the user-facing export CLI)."""
+    torch, Model, WeightInitial = torch_ref
+    from yolo_continuous_tpu.config.plan import TrainPlan
+    from yolo_continuous_tpu.tools.torch_export import export_checkpoint
+    from yolo_continuous_tpu.train.checkpoint import save_checkpoint
+    from yolo_continuous_tpu.train.train_loop import Trainer
+
+    cfg = yaml.safe_load(open("cfg/chip_tiny.yaml"))
+    cfg.update(dict(image_size=64, batch_size=2, max_boxes=8,
+                    save_dir=str(tmp_path), save_name="exp"))
+    plan = TrainPlan(cfg)
+    tr = Trainer(plan, dtype=jnp.float32)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    save_checkpoint(plan.save_path, state)
+
+    out = str(tmp_path / "exp.pth")
+    sd = export_checkpoint(plan, out, use_ema=True)
+    assert len(sd) > 100
+
+    tm = Model(yaml.safe_load(open(os.path.join(REF,
+                                                "cfg/net/yolov7-tiny.yaml"))),
+               plan.anchors, plan.num_labels,
+               weight_initial=WeightInitial.NA)
+    missing, unexpected = tm.load_state_dict(torch.load(out), strict=False)
+    assert not unexpected, unexpected[:5]
+    assert all(m.endswith("num_batches_tracked") for m in missing)
