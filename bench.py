@@ -226,6 +226,18 @@ def section_infer(batch=16, size=640, iters=24):
 
     dt1_f = chained(step_f, singles, lambda o: jnp.sum(o[1]) * 1e-12, iters)
 
+    # int8 PTQ serving variant (layers.quant_ctx; v5e MXU int8 path):
+    # calibrate on the bench inputs, then batched end-to-end throughput
+    det_q = Detector(plan, head_dtype=jnp.bfloat16, quantize=True)
+    det_q.calibrate(variants[0])
+    infer_q = det_q._build_infer(0.25, 0.45, 300)
+
+    @jax.jit
+    def step_q(x, carry):
+        return infer_q(det_q.params, det_q.batch_stats, x + carry)
+
+    dt_q = chained(step_q, variants, lambda o: jnp.sum(o[1]) * 1e-12, iters)
+
     preds = [jnp.asarray(
         np.concatenate([rs.rand(25200, 2), rs.rand(25200, 2) * 0.1 + 0.01,
                         rs.rand(25200, 1), rs.rand(25200, 80)], -1),
@@ -233,6 +245,7 @@ def section_infer(batch=16, size=640, iters=24):
     f = jax.jit(lambda p, c: nms_single(p + c, 0.25, 0.45, 300))
     nms_dt = chained(f, preds, lambda o: jnp.sum(o[1]) * 1e-12, 40)
     print(json.dumps({"infer_img_s": round(infer_ips, 2),
+                      "infer_img_s_int8": round(batch / dt_q, 2),
                       "infer_1_ms": round(dt1 * 1000.0, 3),
                       "infer_1_ms_fused_tails": round(dt1_f * 1000.0, 3),
                       "nms_p50_ms": round(nms_dt * 1000.0, 3)}))

@@ -73,7 +73,7 @@ class Detector:
 
     def __init__(self, plan: TrainPlan, dtype=None, params=None,
                  batch_stats=None, use_ema: bool = True, fuse: bool = False,
-                 head_dtype=None, fused_tails=None):
+                 head_dtype=None, fused_tails=None, quantize=None):
         """fuse=True re-parameterizes RepConv branches into single convs
         (the reference's deploy-time ``fuse()``, nets/yolo_net.py:274-283).
         head_dtype: logit accumulate/output dtype (default fp32, matching
@@ -81,7 +81,11 @@ class Detector:
         cost on the A/B task — see PARITY_AB.md).
         fused_tails: run eligible 1x1 neck tails as the fused Pallas
         matmul+BN+SiLU kernel (layers.Conv.fused_tail); defaults to the
-        plan's ``fused_tails`` key (off)."""
+        plan's ``fused_tails`` key (off).
+        quantize=True: serve the Conv body with symmetric int8 PTQ
+        (layers.quant_ctx; v5e MXU int8 path). Call ``calibrate(images)``
+        with representative inputs BEFORE inferring — it records the
+        per-Conv activation scales; defaults to plan key ``quantize``."""
         self.plan = plan
         self.dtype = dtype or (jnp.bfloat16 if jax.default_backend() == "tpu"
                                else jnp.float32)
@@ -93,9 +97,14 @@ class Detector:
         if fused_tails is None:
             fused_tails = bool(plan.cfg.get("fused_tails", False))
         self.fused_tails = fused_tails
+        if quantize is None:
+            quantize = bool(plan.cfg.get("quantize", False))
+        self.quantize = bool(quantize)
+        self.quant = None          # "quant" collection once calibrated
         self.model = YoloModel(spec=self.spec, dtype=self.dtype,
                                head_dtype=self.head_dtype,
-                               fused_tails=fused_tails)
+                               fused_tails=fused_tails,
+                               quant_mode="int8" if self.quantize else None)
         self.nl = len(self.spec.strides)
 
         if params is None:
@@ -122,19 +131,50 @@ class Detector:
             self.spec = deploy_spec(self.spec)
             self.model = YoloModel(spec=self.spec, dtype=self.dtype,
                                    head_dtype=self.head_dtype,
-                                   fused_tails=self.fused_tails)
+                                   fused_tails=self.fused_tails,
+                                   quant_mode="int8" if self.quantize
+                                   else None)
         self.params = params
         self.batch_stats = batch_stats or {}
         self._infer = None
         self._infer_key = None
 
+    def calibrate(self, images, batches=1):
+        """Record per-Conv activation scales (int8 PTQ) from
+        representative inputs. ``images``: one (bs, H, W, 3) array or an
+        iterable of them; the recorded scale is the running max-abs.
+        Must be called before inference when ``quantize=True``."""
+        assert self.quantize, "calibrate() requires Detector(quantize=True)"
+        m = YoloModel(spec=self.spec, dtype=self.dtype,
+                      head_dtype=self.head_dtype, quant_mode="calib")
+        batches = [images] if hasattr(images, "shape") else list(images)
+        quant = self.quant or {}
+        fn = jax.jit(lambda q, imgs: m.apply(
+            {"params": self.params, "batch_stats": self.batch_stats,
+             "quant": q} if q else
+            {"params": self.params, "batch_stats": self.batch_stats},
+            imgs, False, mutable=["quant"])[1]["quant"])
+        for b in batches:
+            quant = fn(quant, jnp.asarray(b))
+        self.quant = quant
+        self._infer = None       # quantized graphs bake the scales in
+        return quant
+
     def _build_infer(self, conf_thres: float, nms_thres: float, max_det: int):
         spec = self.spec
+        if self.quantize and self.quant is None:
+            raise RuntimeError(
+                "Detector(quantize=True) needs calibrate(images) before "
+                "inference: the int8 path reads the recorded activation "
+                "scales from the 'quant' collection")
+        quant = self.quant
 
         @jax.jit
         def infer(params, batch_stats, images):
-            outs = self.model.apply(
-                {"params": params, "batch_stats": batch_stats}, images, False)
+            variables = {"params": params, "batch_stats": batch_stats}
+            if quant is not None:
+                variables["quant"] = quant
+            outs = self.model.apply(variables, images, False)
             outs = outs[: self.nl]  # IAuxDetect: leads only (iaux_detect.py:52)
             if spec.head_name == "IBin":
                 from .ops.decode import decode_outputs_bin

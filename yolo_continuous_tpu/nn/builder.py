@@ -336,10 +336,15 @@ class YoloModel(nn.Module):
     # compute inside per-block jax.checkpoint chunks, so the backward
     # keeps only conv outputs as residuals (layers.bn_tail_remat)
     bn_remat: bool = False
+    # int8 PTQ serving (layers.quant_ctx): None | "calib" | "int8".
+    # "calib" records per-Conv activation max-abs into the "quant"
+    # collection; "int8" runs symmetric int8 convs against it.
+    quant_mode: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        with L.bn_tail_remat(self.bn_remat and train):
+        with L.bn_tail_remat(self.bn_remat and train), \
+                L.quant_ctx(None if train else self.quant_mode):
             return self._walk(x, train)
 
     def _walk(self, x, train: bool):

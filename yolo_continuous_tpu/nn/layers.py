@@ -81,6 +81,37 @@ def bn_tail_remat(enabled: bool):
         _BN_TAIL_REMAT[0] = prev
 
 
+# --------------------------------------------------------------------------
+# int8 post-training quantization (trace-time mode flag)
+#
+# TPU-first serving lever: the v5e MXU multiplies int8 x int8 into int32
+# natively at 2x the bf16 rate, and int8 activations halve conv HBM read
+# traffic vs bf16. Symmetric PTQ: weights per-output-channel
+# (max-abs/127, derived in-graph from the SAME fp32 params — checkpoints
+# are unchanged), activations per-tensor with a calibration-recorded
+# max-abs stored in the "quant" variable collection. BN + activation
+# stay in the float path (their cost is epilogue-fused). Modes:
+#   "calib" — normal float conv, but record amax(|x|) into "quant"
+#   "int8"  — quantize x/w, integer conv, dequantize by (sx * sw)
+# Enable via YoloModel(quant_mode=...) / Detector(quantize=True).
+# --------------------------------------------------------------------------
+
+_QUANT_MODE = [None]
+
+
+@contextlib.contextmanager
+def quant_ctx(mode):
+    """Trace-time context: Conv blocks under this scope run the int8
+    path ("int8"), or record activation scales ("calib")."""
+    assert mode in (None, "calib", "int8"), mode
+    prev = _QUANT_MODE[0]
+    _QUANT_MODE[0] = mode
+    try:
+        yield
+    finally:
+        _QUANT_MODE[0] = prev
+
+
 def apply_act(x: jnp.ndarray, act: ActSpec) -> jnp.ndarray:
     if act is True or act == "silu":
         return nn.silu(x)
@@ -339,15 +370,16 @@ def expand(x, gain: int = 2):
 
 class _ConvKernelVars(nn.Module):
     """Param-layout twin of the ``conv2d`` nn.Conv scope (kernel only):
-    lets the fused-tail inference branch read the SAME checkpoint tree
-    (.../conv/kernel) without running the XLA conv."""
-    c1: int
+    lets the fused-tail / int8 inference branches read the SAME
+    checkpoint tree (.../conv/kernel) without running the XLA conv."""
+    c1: int          # cin per group
     c2: int
+    k: int = 1
 
     @nn.compact
     def __call__(self):
-        return self.param("kernel", normal_init, (1, 1, self.c1, self.c2),
-                          jnp.float32)
+        return self.param("kernel", normal_init,
+                          (self.k, self.k, self.c1, self.c2), jnp.float32)
 
 
 class _BNStatVars(nn.Module):
@@ -393,6 +425,34 @@ class Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        mode = _QUANT_MODE[0]
+        if mode is not None and not train:
+            # the amax variable exists in BOTH quant modes so the
+            # calibrated "quant" collection matches the int8 tree
+            amax = self.variable("quant", "amax",
+                                 lambda: jnp.zeros((), jnp.float32))
+            if mode == "calib":
+                if not self.is_initializing():
+                    amax.value = jnp.maximum(
+                        amax.value, jnp.max(jnp.abs(x)).astype(jnp.float32))
+            else:  # int8
+                p = autopad(self.k, self.p)
+                kernel = _ConvKernelVars(x.shape[-1] // self.g, self.c2,
+                                         self.k, name="conv")()
+                sx = jnp.maximum(amax.value, 1e-12) / 127.0
+                xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                              -127, 127).astype(jnp.int8)
+                sw = jnp.max(jnp.abs(kernel), axis=(0, 1, 2)) / 127.0
+                sw = jnp.maximum(sw, 1e-12)
+                wq = jnp.clip(jnp.round(kernel / sw),
+                              -127, 127).astype(jnp.int8)
+                y = jax.lax.conv_general_dilated(
+                    xq, wq, (self.s, self.s), [(p, p), (p, p)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=self.g,
+                    preferred_element_type=jnp.int32)
+                y = (y.astype(jnp.float32) * (sx * sw)).astype(self.dtype)
+                return BatchNorm(name="bn")(y, False, act=self.act)
         if (self.fused_tail and not train and self.k == 1 and self.s == 1
                 and self.g == 1 and self.act is True
                 and x.shape[-1] >= self.fused_tail_min_cin):
