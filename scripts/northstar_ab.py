@@ -200,6 +200,24 @@ def cmd_gen_epochs(d, epochs):
     print(f"wrote e{epochs} plan variants")
 
 
+def cmd_gen_flagship(d, epochs):
+    """Derive a FULL-yolov7 plan on the same 640px north-star set
+    (plan_flag640_e{N}.yaml). Not part of the tiny-vs-tiny A/B means
+    (the `flag` key prefix keeps it out of cmd_report's arms); scored by
+    cmd_eval and reported in FLAGSHIP.md as the flagship-at-640
+    evidence. bs 16 (the bench configuration) instead of the recipe's 8
+    — full yolov7 @640 fits bs16 comfortably on one chip."""
+    import yaml
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = yaml.safe_load(open(os.path.join(d, "plan_ours_s0.yaml")))
+    base.update(epochs=epochs, batch_size=16,
+                model_cfg=os.path.join(repo, "cfg/net/yolov7.yaml"),
+                save_name=f"ab640_flag_e{epochs}")
+    with open(os.path.join(d, f"plan_flag640_e{epochs}.yaml"), "w") as f:
+        yaml.safe_dump(base, f)
+    print(f"wrote plan_flag640_e{epochs}.yaml")
+
+
 def cmd_eval(d):
     """Score every plan variant whose checkpoint exists (torch .pth via
     the importer, ours .msgpack via the EMA tree)."""
@@ -315,9 +333,9 @@ def cmd_report(d):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["gen", "gen-epochs", "calibrate",
-                                    "train-torch", "train-ours", "eval",
-                                    "report"])
+    ap.add_argument("cmd", choices=["gen", "gen-epochs", "gen-flagship",
+                                    "calibrate", "train-torch",
+                                    "train-ours", "eval", "report"])
     ap.add_argument("--dir", default="/tmp/northstar_ab")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--epochs", type=int, default=12)
@@ -330,6 +348,8 @@ def main():
         cmd_gen(d, args.epochs)
     elif args.cmd == "gen-epochs":
         cmd_gen_epochs(d, args.epochs)
+    elif args.cmd == "gen-flagship":
+        cmd_gen_flagship(d, args.epochs)
     elif args.cmd == "calibrate":
         cmd_calibrate(d)
     elif args.cmd == "train-torch":
