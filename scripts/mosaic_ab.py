@@ -211,9 +211,15 @@ def cmd_report(d):
             ("ours mosaic+mixup 0.5 (matched recipe: always-on mosaic, "
              "single-image mixup partner)", "ours_mosaic2"),
             ("ours matched recipe, seed 1 replicate", "ours_mosaic2s1"),
+            ("ours matched recipe, seed 2 replicate", "ours_mosaic2s2"),
             ("ours no mosaic/mixup (same budget)", "ours_plain"),
-            ("torch reference mosaic+mixup 0.5", "torch_mosaic")]
-    rows60 = [("ours mosaic+mixup 0.5 (late-clean 0.85)", "ours_mosaic60"),
+            ("torch reference mosaic+mixup 0.5", "torch_mosaic"),
+            ("torch reference mosaic seed 1", "torch_mosaic_s1"),
+            ("torch reference mosaic seed 2", "torch_mosaic_s2")]
+    rows60 = [("ours mosaic+mixup 0.5 (late-clean 0.85, "
+               "OOM-truncated epoch 39)", "ours_mosaic60"),
+              ("ours mosaic+mixup 0.5 (late-clean 0.85, COMPLETE "
+               "60-epoch rerun, device_cache)", "ours_mosaic60c"),
               ("ours no mosaic/mixup", "ours_plain60"),
               ("torch reference mosaic+mixup 0.5", "torch_mosaic60")]
     lines = [MARK_BEGIN,
@@ -232,17 +238,24 @@ def cmd_report(d):
         if key in res:
             lines.append(f"| {label} | {res[key]['mAP@0.5']:.4f} | "
                          f"{res[key]['mAP@0.5:0.95']:.4f} |")
-    seeds = [res[k]["mAP@0.5"] for k in ("ours_mosaic2", "ours_mosaic2s1")
+    seeds = [res[k]["mAP@0.5"] for k in
+             ("ours_mosaic2", "ours_mosaic2s1", "ours_mosaic2s2")
              if k in res]
+    tseeds = [res[k]["mAP@0.5"] for k in
+              ("torch_mosaic", "torch_mosaic_s1", "torch_mosaic_s2")
+              if k in res]
     mean2 = sum(seeds) / len(seeds) if seeds else None
     if mean2 is not None and "ours_plain" in res:
         dm = mean2 - res["ours_plain"]["mAP@0.5"]
         lines += ["", f"mosaic-helps delta @30ep (ours matched-recipe "
-                  f"seed-mean {mean2:.4f} - ours off): {dm:+.4f}"]
-    if mean2 is not None and "torch_mosaic" in res:
-        dt = mean2 - res["torch_mosaic"]["mAP@0.5"]
+                  f"seed-mean {mean2:.4f}, n={len(seeds)}, spread "
+                  f"{max(seeds) - min(seeds):.3f} - ours off): {dm:+.4f}"]
+    if mean2 is not None and tseeds:
+        tmean = sum(tseeds) / len(tseeds)
+        dt = mean2 - tmean
         lines += [f"framework delta @30ep (ours matched-recipe seed-mean - "
-                  f"torch mosaic): {dt:+.4f}"]
+                  f"torch mosaic seed-mean {tmean:.4f}, n={len(tseeds)}): "
+                  f"{dt:+.4f}"]
     if any(k in res for k in ("ours_mosaic60", "ours_plain60",
                               "torch_mosaic60")):
         lines += ["", "### 60-epoch budget (mosaic's intended regime: "
@@ -252,15 +265,15 @@ def cmd_report(d):
             if key in res:
                 lines.append(f"| {label} | {res[key]['mAP@0.5']:.4f} | "
                              f"{res[key]['mAP@0.5:0.95']:.4f} |")
-        if "ours_mosaic60" in res and "ours_plain60" in res:
-            d60 = (res["ours_mosaic60"]["mAP@0.5"]
-                   - res["ours_plain60"]["mAP@0.5"])
+        k60 = ("ours_mosaic60c" if "ours_mosaic60c" in res
+               else "ours_mosaic60")
+        if k60 in res and "ours_plain60" in res:
+            d60 = res[k60]["mAP@0.5"] - res["ours_plain60"]["mAP@0.5"]
             lines += ["", f"mosaic-helps delta @60ep: {d60:+.4f}"]
-        if "ours_mosaic60" in res and "torch_mosaic60" in res:
-            d60t = (res["ours_mosaic60"]["mAP@0.5"]
-                    - res["torch_mosaic60"]["mAP@0.5"])
+        if k60 in res and "torch_mosaic60" in res:
+            d60t = res[k60]["mAP@0.5"] - res["torch_mosaic60"]["mAP@0.5"]
             lines += [f"framework delta @60ep: {d60t:+.4f}"]
-        if "ours_mosaic60" in res and "ours_mosaic60b" not in res:
+        if "ours_mosaic60" in res and "ours_mosaic60c" not in res:
             lines += ["", "Caveat: the 60-epoch mosaic arm stopped at epoch "
                       "39/60 (host OOM — the TPU tunnel retains a host "
                       "mirror of every transferred batch; see ROADMAP "
