@@ -27,6 +27,7 @@ from .ops.decode import decode_outputs
 from .ops.nms import batched_nms, yolo_correct_boxes
 from .ops.preprocess import letterbox
 from .train.checkpoint import try_load
+from .utils.env import setup_compile_cache
 
 try:
     import cv2
@@ -86,6 +87,7 @@ class Detector:
         (layers.quant_ctx; v5e MXU int8 path). Call ``calibrate(images)``
         with representative inputs BEFORE inferring — it records the
         per-Conv activation scales; defaults to plan key ``quantize``."""
+        setup_compile_cache()
         self.plan = plan
         self.dtype = dtype or (jnp.bfloat16 if jax.default_backend() == "tpu"
                                else jnp.float32)

@@ -37,6 +37,7 @@ from ..ops.augment import (AugConfig, aug_config_from_plan, augment_batch,
 from ..ops.schedules import LRSchedule, StepHyper
 from ..parallel.mesh import (data_sharding, make_mesh, param_sharding_rule,
                              replicated, shard_batch)
+from ..utils.env import setup_compile_cache
 from .checkpoint import save_checkpoint, try_load
 from .ema import EMAState, ema_init, ema_update
 from .optimizer import Optimizer, label_params, make_optimizer
@@ -79,6 +80,7 @@ class Trainer:
     def __init__(self, plan: TrainPlan, mesh=None, dtype=None,
                  steps_per_epoch: Optional[int] = None,
                  remat: Optional[bool] = None):
+        setup_compile_cache()
         self.plan = plan
         self.mesh = mesh
         self.dtype = dtype or default_dtype()

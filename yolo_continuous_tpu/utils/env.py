@@ -2,8 +2,35 @@
 from __future__ import annotations
 
 import datetime
+import os
 import subprocess
 from pathlib import Path
+
+_CACHE_READY = False
+
+
+def setup_compile_cache(path: str | None = None) -> str:
+    """Enable JAX's persistent compilation cache for this process.
+
+    TPU compiles of the full train step are minutes-long (remote on this
+    backend); without a persistent cache every CLI invocation — each
+    seed of an A/B sweep, each resume shard of a long schedule — pays
+    the compile again. Honors ``JAX_COMPILATION_CACHE_DIR`` when set;
+    otherwise defaults to a shared per-host directory. jax import stays
+    inside the function (tests/test_import_hygiene.py: package import
+    must not touch a backend).
+    """
+    global _CACHE_READY
+    d = path or os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/yolo_continuous_tpu_xla_cache")
+    if _CACHE_READY and path is None:
+        return d
+    import jax
+    os.makedirs(d, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _CACHE_READY = True
+    return d
 
 
 def date_modified(path: str = __file__) -> str:
