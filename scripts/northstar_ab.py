@@ -316,6 +316,19 @@ def cmd_report(d):
             "is strongly negative — see the mosaic section above), so "
             "the parity delta needs the paired arms at equal budget to "
             "be meaningful.", ""]
+    else:
+        expected = ([f"ours_s{s}" for s in OUR_SEEDS]
+                    + [f"ours_e18_s{s}" for s in OUR_SEEDS])
+        pending = [k for k in expected if k not in res]
+        if pending:
+            lines += [
+                f"Pending arms (TPU device-window-bound; resume with "
+                f"`scripts/tpu_queue.sh`): {', '.join(pending)}. Each "
+                "640px arm costs ~25 min through the tunnel (remote "
+                "compile dominates; now cached cross-process). Both "
+                "scored arms sit deep in the recipe's under-trained "
+                "regime at these reduced budgets — the paired delta, "
+                "not the absolute mAP, is the parity signal.", ""]
     lines.append(MARK_END)
     block = "\n".join(lines)
     out = os.path.join(repo, "PARITY_AB.md")
