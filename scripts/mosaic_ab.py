@@ -324,6 +324,13 @@ def cmd_eval_extra(d):
         path = os.path.join(d, ck)
         if key in res or not os.path.exists(path):
             continue
+        # round-4 advisor #1: best-loss checkpoints are written mid-run,
+        # so only score arms whose train command completed (the queue
+        # touches <ck>.done on a zero exit status)
+        if not os.path.exists(path + ".done"):
+            print(f"{key}: checkpoint present but no .done sentinel "
+                  "(incomplete run?) — skipping")
+            continue
         plan_name = ("torch_mosaic" if torch_pth else
                      {"ours_mosaic60c": "ours_mosaic60c"}.get(
                          key, key))

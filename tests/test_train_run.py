@@ -378,3 +378,42 @@ def test_device_cache_pool_matches_host_path(tiny_dataset):
         np.testing.assert_allclose(np.asarray(lab_h), np.asarray(lab_p),
                                    atol=1e-6)
         np.testing.assert_array_equal(np.asarray(m_h), np.asarray(m_p))
+
+
+def test_warm_start_from_checkpoint(tiny_dataset, tmp_path):
+    """init_weights_from: weights-only warm start — params/batch_stats
+    (EMA tree) come from the donor checkpoint, but step/optimizer/EMA
+    start fresh (fine-tune semantics; counterpart of the reference's
+    pretrained init, nets/backbone.py:118-125)."""
+    donor_plan = _plan(tiny_dataset, tmp_path)
+    donor_plan.epochs = 1
+    donor_plan.resume = False
+    donor_plan.save_name = "donor"
+    donor_plan.save_path = os.path.join(str(tmp_path), "donor.msgpack")
+    tr = Trainer(donor_plan, dtype=jnp.float32)
+    donor_state = tr.run(log=lambda *_: None)
+    assert os.path.exists(donor_plan.save_path)
+
+    ft_plan = _plan(tiny_dataset, tmp_path)
+    ft_plan.epochs = 0                       # init only, no steps
+    ft_plan.resume = False
+    ft_plan.save_name = "ft"
+    ft_plan.save_path = os.path.join(str(tmp_path), "ft.msgpack")
+    ft_plan.cfg["init_weights_from"] = donor_plan.save_path
+    logs = []
+    tr2 = Trainer(ft_plan, dtype=jnp.float32)
+    state = tr2.run(log=logs.append)
+    assert any("warm start" in l for l in logs)
+    assert int(state["step"]) == 0           # fresh schedule
+    # params equal the donor's EMA tree (the checkpointed serving weights)
+    from yolo_continuous_tpu.train.checkpoint import try_load
+    donor_ck = try_load(donor_plan.save_path,
+                        tr.init_state(jax.random.PRNGKey(0)))
+    want = jax.tree_util.tree_leaves(donor_ck["ema"].tree["params"])
+    got = jax.tree_util.tree_leaves(state["params"])
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+    # EMA restarts FROM those weights (not the donor's optimizer history)
+    got_ema = jax.tree_util.tree_leaves(state["ema"].tree["params"])
+    for w, g in zip(want, got_ema):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))

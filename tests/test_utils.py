@@ -51,3 +51,25 @@ def test_generate_colors():
     cols = generate_colors(5)
     assert len(cols) == 5 and all(len(c) == 3 for c in cols)
     assert len(set(cols)) == 5
+
+
+def test_compile_cache_respects_preconfigured_dir():
+    """ADVICE r4: setup_compile_cache() must not re-point a cache dir
+    already configured on jax.config (the conftest sets the repo-local
+    tests/.xla_cache; the first Trainer/Detector constructed in the
+    suite used to silently swap it for /tmp)."""
+    import jax
+
+    from yolo_continuous_tpu.utils import env as env_mod
+    from yolo_continuous_tpu.utils.env import setup_compile_cache
+
+    before = jax.config.jax_compilation_cache_dir
+    assert before and before.endswith(".xla_cache")  # conftest's dir
+    old = env_mod._CACHE_DIR
+    env_mod._CACHE_DIR = None  # fresh-process view
+    try:
+        got = setup_compile_cache()
+        assert got == before
+        assert jax.config.jax_compilation_cache_dir == before
+    finally:
+        env_mod._CACHE_DIR = old

@@ -130,6 +130,31 @@ class Trainer:
                 "opt": opt_state, "ema": ema,
                 "step": jnp.zeros((), jnp.int32)}
 
+    def warm_start(self, src: str, state, log=print):
+        """Weights-only warm start (``init_weights_from`` plan key): load
+        params + batch_stats from a checkpoint and start a FRESH run
+        (step 0, fresh optimizer/EMA/schedule) — pretrained init /
+        fine-tuning, the counterpart of the reference's pretrained
+        backbone download (nets/backbone.py:118-125) and of resuming a
+        bare ``state_dict`` into a new schedule (train.py:38-39).
+        Accepts an ours ``.msgpack`` checkpoint (EMA tree — the serving
+        weights) or a torch ``.pth`` via the bit-parity-tested importer.
+        """
+        if src.endswith(".pth"):
+            from ..tools.torch_import import load_torch_checkpoint
+            params, batch_stats = load_torch_checkpoint(
+                src, self.spec, state["params"], state["batch_stats"])
+        else:
+            loaded = try_load(src, state)
+            if loaded is None:
+                raise FileNotFoundError(f"init_weights_from: {src}")
+            tree = loaded["ema"].tree
+            params, batch_stats = tree["params"], tree["batch_stats"]
+        log(f"warm start: weights from {src}")
+        return dict(state, params=params, batch_stats=batch_stats,
+                    ema=ema_init({"params": params,
+                                  "batch_stats": batch_stats}))
+
     # ------------------------------------------------------------------
     def _split_heads(self, outs):
         if self.spec.head_name == "IAuxDetect":
@@ -234,6 +259,9 @@ class Trainer:
         rng = jax.random.PRNGKey(plan.seed)
         rng, init_rng = jax.random.split(rng)
         state = self.init_state(init_rng)
+        warm_src = plan.cfg.get("init_weights_from")
+        if warm_src:
+            state = self.warm_start(warm_src, state, log)
 
         # exact resume prefers the every-epoch 'last' checkpoint; the
         # best-loss checkpoint (reference parity, train.py:38-39) is the
