@@ -1,13 +1,15 @@
 #!/usr/bin/env python
-"""On-TPU smoke for the tiled Pallas NMS kernel at the auto-dispatch
-sizes (round-3 advisor finding: pallas_suppress_tiled was only ever
-validated in interpret mode off-TPU; its VMEM residency at K=4096 was
-unproven on hardware).
+"""On-TPU NMS dispatch validation (round-4 verdict weak #4).
 
-Runs pallas_suppress_tiled on the REAL chip at K in {2048, 4096},
-compares the keep-set bit-for-bit against the XLA fixpoint reference
-(ops/nms._fixpoint_suppress), and times it. Writes a JSON line to
-reports/nms_tpu_smoke.json.
+Round 3 proved the tiled Pallas kernel's keep-set bit-matches the XLA
+fixpoint at K=2048/4096 on hardware but never timed the XLA fixpoint at
+those sizes — `_auto_pallas` + the K>1024 branch (ops/nms.py:100-130)
+could have been routing large-max_det callers onto a slower path. This
+smoke measures BOTH paths at K in {1024, 2048, 4096} with the bench's
+chained-iteration timing (the tunnel RTT only ever ADDS time; chaining
+device-side and syncing once cancels it), bit-checks the keep-sets, and
+writes reports/nms_tpu_smoke.json. The dispatch constants in ops/nms.py
+are set from this record.
 
 Run (serialized through the TPU queue): python scripts/tpu_smoke_nms.py
 """
@@ -21,19 +23,43 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/xla_bench_cache")
 
 import numpy as np
 
+ITERS = 20
+
+
+def chained_ms(f, b, c, v, iters=ITERS):
+    """Median-free chained timing: run `iters` dependent calls, sync
+    once; subtract the 1-call time (≈RTT + 1 iter); best of 2 passes."""
+    import jax.numpy as jnp
+
+    def run(k):
+        carry = jnp.float32(0.0)
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(k):
+            out = f(b + carry, c, v)
+            carry = jnp.sum(out) * jnp.float32(1e-20)
+        _ = float(carry)
+        return time.perf_counter() - t0
+
+    run(1)  # warm / compile
+    t1 = run(1)
+    dt = max(min(run(iters + 1), run(iters + 1)) - t1, 1e-9)
+    return dt / iters * 1000.0
+
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from yolo_continuous_tpu.kernels.nms_pallas import pallas_suppress_tiled
+    from yolo_continuous_tpu.kernels.nms_pallas import (pallas_suppress,
+                                                        pallas_suppress_tiled)
     from yolo_continuous_tpu.ops.boxes import box_iou
     from yolo_continuous_tpu.ops.nms import _fixpoint_suppress
 
     backend = jax.default_backend()
-    out = {"backend": backend, "cases": {}}
+    out = {"backend": backend, "iters": ITERS, "cases": {}}
     rs = np.random.RandomState(0)
-    for k in (2048, 4096):
+    for k in (1024, 2048, 4096):
         # clustered boxes so suppression chains actually form
         centers = rs.rand(k, 2) * 640
         wh = rs.rand(k, 2) * 80 + 10
@@ -43,28 +69,28 @@ def main():
         b, c, v = jnp.asarray(boxes, jnp.float32), jnp.asarray(classes), \
             jnp.asarray(valid)
 
-        keep_p = np.asarray(jax.jit(
-            lambda b, c, v: pallas_suppress_tiled(b, c, v, 0.45))(b, c, v))
+        kernel = pallas_suppress if k <= 1024 else pallas_suppress_tiled
+        f_pal = jax.jit(lambda b, c, v: kernel(b, c, v, 0.45))
 
-        iou = box_iou(b, b)
-        same = classes[:, None] == classes[None, :]
-        keep_ref = np.asarray(_fixpoint_suppress(
-            iou, jnp.asarray(same), v, 0.45))
+        def xla_path(b, c, v):
+            iou = box_iou(b, b)
+            same = c[:, None] == c[None, :]
+            return _fixpoint_suppress(iou, same, v, 0.45)
+        f_xla = jax.jit(xla_path)
 
-        match = bool((keep_p.astype(bool) == keep_ref.astype(bool)).all())
+        keep_p = np.asarray(f_pal(b, c, v)).astype(bool)
+        keep_x = np.asarray(f_xla(b, c, v)).astype(bool)
+        match = bool((keep_p == keep_x).all())
 
-        f = jax.jit(lambda b, c, v: pallas_suppress_tiled(b, c, v, 0.45))
-        f(b, c, v)  # warm
-        ts = []
-        for _ in range(10):
-            t0 = time.perf_counter()
-            jax.block_until_ready(f(b, c, v))
-            ts.append(time.perf_counter() - t0)
-        p50 = sorted(ts)[len(ts) // 2] * 1000
-        out["cases"][str(k)] = {"match": match, "p50_ms": round(p50, 3),
-                                "kept": int(keep_p.astype(bool).sum())}
-        print(f"K={k}: match={match} p50={p50:.3f} ms "
-              f"kept={int(keep_p.astype(bool).sum())}")
+        ms_pal = chained_ms(f_pal, b, c, v)
+        ms_xla = chained_ms(f_xla, b, c, v)
+        out["cases"][str(k)] = {
+            "match": match, "kept": int(keep_p.sum()),
+            "pallas_ms": round(ms_pal, 3), "xla_fixpoint_ms": round(ms_xla, 3),
+            "winner": "pallas" if ms_pal <= ms_xla else "xla",
+        }
+        print(f"K={k}: match={match} kept={int(keep_p.sum())} "
+              f"pallas={ms_pal:.3f} ms xla={ms_xla:.3f} ms")
         assert match, f"K={k}: pallas keep-set != fixpoint reference"
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
