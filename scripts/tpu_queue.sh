@@ -39,9 +39,15 @@ for key in json.load(open(d / "northstar_results.json")):
 EOF
 
 # nm36 first: it pairs with the round-5 CPU torch arm AND donates the
-# shared-init fine-tune weights; then the queued round-4 arms.
-for job in plan_ours_nm36_s0.yaml plan_ours_s1.yaml plan_ours_s2.yaml \
-           plan_ours_e18_s0.yaml plan_ours_e18_s1.yaml plan_ours_e18_s2.yaml; do
+# shared-init fine-tune weights. The 12/18-epoch voc-recipe arms are
+# no-signal budgets (torch mAP < 0.2 there — see PARITY_AB.md), so they
+# only run when explicitly asked for via RUN_NOSIGNAL_ARMS=1.
+EXTRA_ARMS=""
+if [ "${RUN_NOSIGNAL_ARMS:-0}" = 1 ]; then
+  EXTRA_ARMS="plan_ours_s1.yaml plan_ours_s2.yaml plan_ours_e18_s0.yaml \
+              plan_ours_e18_s1.yaml plan_ours_e18_s2.yaml"
+fi
+for job in plan_ours_nm36_s0.yaml $EXTRA_ARMS; do
   name=$(basename "$job" .yaml); name=${name#plan_}
   sent="$D/ab640_${name}.done"
   tmo=3600; case "$job" in *e18*|*nm36*) tmo=4800;; esac

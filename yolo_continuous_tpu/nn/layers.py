@@ -293,6 +293,16 @@ def _bn_scale_init(key, shape, dtype=jnp.float32):
 
 
 def max_pool(x, k, s, p=0):
+    # Non-overlapping pools (MP/DownC/Transition: k == s, no pad) reduce
+    # over a reshaped window axis instead of lax.reduce_window: jnp.max's
+    # VJP is elementwise (eq-mask, tie-splitting), while reduce_window's
+    # is select_and_scatter — measured at 10.5 ms of the 100.8 ms
+    # flagship train step on v5e (reports/profile_step.json). Forward
+    # values are identical; on ties the gradient splits evenly instead
+    # of routing to the first max (never hit with continuous inputs).
+    if s == k and p == 0 and x.shape[1] % k == 0 and x.shape[2] % k == 0:
+        b, h, w, c = x.shape
+        return x.reshape(b, h // k, k, w // k, k, c).max(axis=(2, 4))
     pads = [(p, p), (p, p)]
     return nn.max_pool(x, window_shape=(k, k), strides=(s, s), padding=pads)
 
