@@ -417,3 +417,20 @@ def test_warm_start_from_checkpoint(tiny_dataset, tmp_path):
     got_ema = jax.tree_util.tree_leaves(state["ema"].tree["params"])
     for w, g in zip(want, got_ema):
         np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+
+def test_stop_after_epoch_caps_loop(tiny_dataset, tmp_path):
+    """stop_after_epoch trains only the first E epochs of the schedule
+    (LR horizon unchanged) — the budget-matched A/B pairing knob."""
+    cfg = yaml.safe_load(open("cfg/chip_tiny.yaml"))
+    cfg.update(dict(train=tiny_dataset, val=tiny_dataset, epochs=4,
+                    batch_size=2, image_size=64, max_boxes=8, workers=0,
+                    save_dir=str(tmp_path), save_name="cap", resume=False,
+                    warmup=False, stop_after_epoch=2))
+    plan = TrainPlan(cfg)
+    logs = []
+    state = Trainer(plan, dtype=jnp.float32).run(log=logs.append)
+    steps_per_epoch = 3  # 6 imgs / bs 2
+    assert int(state["step"]) == 2 * steps_per_epoch
+    assert any("epoch 2/4" in l for l in logs)
+    assert not any("epoch 3/4" in l for l in logs)

@@ -330,10 +330,17 @@ class Trainer:
         # the reference's negative-lr overrun
         # (main/learningrate_scheduler.py:44).
         epoch0 = min(host_step // steps_per_epoch, plan.epochs)
+        # optional epoch cap (`stop_after_epoch` plan key): train only the
+        # first E epochs of the plan.epochs schedule — the LR/mosaic
+        # horizons stay at plan.epochs, exactly like a run interrupted at
+        # epoch E. Used for budget-matched A/B pairings where the other
+        # arm ran out of wall clock (scripts/northstar_ab.py).
+        last_epoch = min(plan.epochs,
+                         int(plan.cfg.get("stop_after_epoch") or plan.epochs))
         # per-step augmentation keys derive from (seed, host_step), not a
         # split chain, so resumed batches equal uninterrupted ones
         aug_base = jax.random.fold_in(rng, 0x617567)
-        for epoch in range(epoch0, plan.epochs):
+        for epoch in range(epoch0, last_epoch):
             train_ds.reseed(epoch)
             t0 = time.time()
             losses, nsteps = [], 0
