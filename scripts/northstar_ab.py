@@ -222,6 +222,40 @@ def cmd_gen_nomosaic(d, epochs):
     print(f"wrote nm{epochs} plan variants (mosaic off, both arms)")
 
 
+def cmd_gen_easy(d, epochs=30):
+    """Derive the DISCRIMINATING 640px paired budget (round-5): the
+    20-class VOC-proxy task cannot reach torch mAP >= 0.2 on this host
+    (36 no-mosaic TPU epochs -> ours 0.035; torch trains 13-17
+    min/epoch, so the needed hundreds of epochs are out of reach), but
+    the 6-class easy vocabulary reached torch 0.556 at 320px in 60
+    epochs. This writes a 6-class easy-shape set at FULL 640px (object
+    sizes scaled to the 320px set's relative spread), its k-means
+    anchors, and mosaic-off voc-recipe plan variants for both arms —
+    plan_{arm}_ez{N}_s0.yaml — sized so one torch arm fits ~3h of CPU
+    (448 train imgs @ bs8 = 56 it/epoch)."""
+    import yaml
+
+    from scripts.parity_data import (CLASSES, fit_anchors,
+                                     make_easy_dataset)
+    train_ann, val_ann = make_easy_dataset(d, n_train=448, n_val=128,
+                                           size=SIZE, seed=23)
+    anchors = fit_anchors(train_ann, seed=0)
+    for arm in ("torch", "ours"):
+        base = yaml.safe_load(open(os.path.join(d, f"plan_{arm}_s0.yaml")))
+        base.update(epochs=epochs, mosaic=False, mixup=False,
+                    mosaic_prob=0.0, mixup_prob=0.0,
+                    train=train_ann, val=val_ann, labels=list(CLASSES),
+                    anchors=anchors, max_boxes=16,
+                    save_name=f"ab640_{arm}_ez{epochs}_s0")
+        if arm == "ours":
+            base["special_aug_ratio"] = 0.0
+        with open(os.path.join(d, f"plan_{arm}_ez{epochs}_s0.yaml"),
+                  "w") as f:
+            yaml.safe_dump(base, f)
+    print(f"wrote ez{epochs} plan variants (6-class easy set @640, "
+          f"mosaic off, shared anchors {anchors})")
+
+
 def cmd_gen_finetune(d, donor, epochs=8):
     """Derive the SHARED-INIT fine-tune pair (round-4 verdict #2b): both
     frameworks fine-tune from the SAME donor weights, so both arms sit
@@ -455,7 +489,7 @@ def cmd_report(d):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("cmd", choices=["gen", "gen-epochs", "gen-flagship",
-                                    "gen-nomosaic", "gen-finetune",
+                                    "gen-nomosaic", "gen-finetune", "gen-easy",
                                     "calibrate", "train-torch",
                                     "train-ours", "eval", "report"])
     ap.add_argument("--dir", default="/tmp/northstar_ab")
@@ -476,6 +510,8 @@ def main():
         cmd_gen_flagship(d, args.epochs)
     elif args.cmd == "gen-nomosaic":
         cmd_gen_nomosaic(d, args.epochs if args.epochs != 12 else 36)
+    elif args.cmd == "gen-easy":
+        cmd_gen_easy(d, args.epochs if args.epochs != 12 else 30)
     elif args.cmd == "gen-finetune":
         assert args.donor, "--donor required"
         cmd_gen_finetune(d, args.donor, args.epochs
