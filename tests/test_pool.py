@@ -47,3 +47,42 @@ def test_odd_spatial_falls_back():
     x = jnp.asarray(np.random.RandomState(1).randn(1, 7, 7, 4), jnp.float32)
     ref = nn.max_pool(x, (2, 2), (2, 2), [(0, 0), (0, 0)])
     assert bool(jnp.array_equal(max_pool(x, 2, 2), ref))
+
+
+@pytest.mark.parametrize("k", [3, 5, 9, 13])
+def test_sp_separable_exact(k):
+    from yolo_continuous_tpu.nn.layers import sp
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 20, 20, 32),
+                    jnp.float32)
+    ref = nn.max_pool(x, (k, k), (1, 1), [(k // 2, k // 2)] * 2)
+    assert bool(jnp.array_equal(sp(x, k), ref))
+
+
+def test_sp_pyramid_cascade_exact_and_grad():
+    from yolo_continuous_tpu.nn.layers import sp_pyramid
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(2, 20, 20, 16), jnp.float32)
+    outs = sp_pyramid(x, (5, 9, 13))
+    for k, o in zip((5, 9, 13), outs):
+        ref = nn.max_pool(x, (k, k), (1, 1), [(k // 2, k // 2)] * 2)
+        assert bool(jnp.array_equal(o, ref)), k
+
+    def f_cas(y):
+        return jnp.sum(jnp.stack([jnp.sum(o * (i + 1))
+                                  for i, o in enumerate(sp_pyramid(y, (5, 9, 13)))]))
+
+    def f_dir(y):
+        return jnp.sum(jnp.stack([
+            jnp.sum(nn.max_pool(y, (k, k), (1, 1), [(k // 2, k // 2)] * 2)
+                    * (i + 1)) for i, k in enumerate((5, 9, 13))]))
+
+    g1, g2 = jax.grad(f_cas)(x), jax.grad(f_dir)(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+def test_sp_pyramid_non_cascadable_falls_back():
+    from yolo_continuous_tpu.nn.layers import sp_pyramid
+    x = jnp.asarray(np.random.RandomState(2).randn(1, 9, 9, 4), jnp.float32)
+    for k, o in zip((5, 3), sp_pyramid(x, (5, 3))):
+        ref = nn.max_pool(x, (k, k), (1, 1), [(k // 2, k // 2)] * 2)
+        assert bool(jnp.array_equal(o, ref)), k

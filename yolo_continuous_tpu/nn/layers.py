@@ -322,8 +322,43 @@ def mp(x, k: int = 2):
 
 
 def sp(x, k: int = 3, s: int = 1):
-    """SP: stride-1 maxpool, same-pad; nets/common.py:34-40."""
+    """SP: stride-1 maxpool, same-pad; nets/common.py:34-40.
+
+    Separable form (k,1) then (1,k) — exact for max with -inf padding —
+    cuts the window positions per element from k^2 to 2k. The profiled
+    flagship step spent 9.8 ms/step in the SPPCSPC pools' backward
+    select_and_scatter (reports/profile_step.json: 3 ops over a
+    16x20x20x512 tensor — pure window-serialization cost, the tensor is
+    6.6 MB), which scales with window positions."""
+    if s == 1 and k > 1:
+        p = k // 2
+        x = nn.max_pool(x, window_shape=(k, 1), strides=(1, 1),
+                        padding=[(p, p), (0, 0)])
+        return nn.max_pool(x, window_shape=(1, k), strides=(1, 1),
+                           padding=[(0, 0), (p, p)])
     return max_pool(x, k, s, k // 2)
+
+
+def sp_pyramid(x, ks):
+    """[sp(x, k) for k in ks], computed as a CASCADE when the ladder
+    allows it: stride-1 max windows compose by radius addition
+    (r=(k-1)/2), so the standard (5, 9, 13) pyramid is sp5(x),
+    sp5(sp5(x)), sp5(sp5(sp5(x))) — value-identical to the direct pools
+    (YOLOv5's SPPF identity; nets/common.py:771 uses the same fact) at
+    a fraction of the window work. Falls back to direct pools for
+    non-cascadable ladders."""
+    ks = tuple(ks)
+    outs, prev, prev_r = [], x, 0
+    for k in ks:
+        r = (k - 1) // 2
+        step = r - prev_r
+        if k % 2 == 1 and step > 0:
+            prev = sp(prev, 2 * step + 1)
+            prev_r = r
+            outs.append(prev)
+        else:   # non-monotone/even ladder: direct pool, no cascade
+            outs.append(sp(x, k))
+    return outs
 
 
 def reorg(x):
@@ -642,7 +677,7 @@ class SPP(nn.Module):
     def __call__(self, x, train: bool = False):
         c_ = self.c1 // 2
         x = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
-        ys = [x] + [sp(x, k) for k in self.k]
+        ys = [x] + sp_pyramid(x, self.k)
         return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
 
 
@@ -683,7 +718,7 @@ class SPPCSPC(nn.Module):
         x1 = CV(c_, 1, 1, "cv1")(x, train)
         x1 = CV(c_, 3, 1, "cv3")(x1, train)
         x1 = CV(c_, 1, 1, "cv4")(x1, train)
-        ys = [x1] + [sp(x1, k) for k in self.k]
+        ys = [x1] + sp_pyramid(x1, self.k)
         y1 = CV(c_, 1, 1, "cv5")(jnp.concatenate(ys, -1), train)
         y1 = CV(c_, 3, 1, "cv6")(y1, train)
         y2 = CV(c_, 1, 1, "cv2")(x, train)
