@@ -28,16 +28,23 @@ ITERS = 20
 
 def chained_ms(f, b, c, v, iters=ITERS):
     """Median-free chained timing: run `iters` dependent calls, sync
-    once; subtract the 1-call time (≈RTT + 1 iter); best of 2 passes."""
+    once; subtract the 1-call time (≈RTT + 1 iter); best of 2 passes.
+
+    Two memoization defenses (the axon tunnel caches identical
+    executions — a first version using a carry of sum(keep)*1e-20 saw
+    0.0 ms results because the perturbation rounded away in fp32 and
+    every iteration replayed from cache): (a) the carry scale is 1e-3,
+    large enough to change input bits; (b) it shifts ALL box corners
+    uniformly, and translation preserves pairwise IoU, so the keep-set
+    work is identical while the execution is distinct."""
     import jax.numpy as jnp
 
     def run(k):
         carry = jnp.float32(0.0)
         t0 = time.perf_counter()
-        out = None
-        for _ in range(k):
+        for i in range(k):
             out = f(b + carry, c, v)
-            carry = jnp.sum(out) * jnp.float32(1e-20)
+            carry = (jnp.sum(out).astype(jnp.float32) + i) * jnp.float32(1e-3)
         _ = float(carry)
         return time.perf_counter() - t0
 
@@ -59,9 +66,14 @@ def main():
     backend = jax.default_backend()
     out = {"backend": backend, "iters": ITERS, "cases": {}}
     rs = np.random.RandomState(0)
-    for k in (1024, 2048, 4096):
-        # clustered boxes so suppression chains actually form
-        centers = rs.rand(k, 2) * 640
+    for k in (300, 512, 1024, 2048, 4096):
+        # clustered boxes so suppression chains actually form; the
+        # cluster area scales with K so the suppressed FRACTION stays
+        # realistic at every size (a fixed 640px field at K=300 had
+        # kept=300/300 — a fixpoint that converges in one iteration
+        # measures nothing)
+        side = 640.0 * (k / 4096.0) ** 0.5
+        centers = rs.rand(k, 2) * side
         wh = rs.rand(k, 2) * 80 + 10
         boxes = np.concatenate([centers - wh / 2, centers + wh / 2], -1)
         classes = rs.randint(0, 20, k).astype(np.int32)
@@ -69,29 +81,33 @@ def main():
         b, c, v = jnp.asarray(boxes, jnp.float32), jnp.asarray(classes), \
             jnp.asarray(valid)
 
-        kernel = pallas_suppress if k <= 1024 else pallas_suppress_tiled
-        f_pal = jax.jit(lambda b, c, v: kernel(b, c, v, 0.45))
-
         def xla_path(b, c, v):
             iou = box_iou(b, b)
             same = c[:, None] == c[None, :]
             return _fixpoint_suppress(iou, same, v, 0.45)
-        f_xla = jax.jit(xla_path)
 
-        keep_p = np.asarray(f_pal(b, c, v)).astype(bool)
-        keep_x = np.asarray(f_xla(b, c, v)).astype(bool)
-        match = bool((keep_p == keep_x).all())
+        cands = {"xla": jax.jit(xla_path),
+                 "tiled": jax.jit(
+                     lambda b, c, v: pallas_suppress_tiled(b, c, v, 0.45))}
+        if k <= 1024:   # single-VMEM-block kernel caps at K~1024
+            cands["block"] = jax.jit(
+                lambda b, c, v: pallas_suppress(b, c, v, 0.45))
 
-        ms_pal = chained_ms(f_pal, b, c, v)
-        ms_xla = chained_ms(f_xla, b, c, v)
-        out["cases"][str(k)] = {
-            "match": match, "kept": int(keep_p.sum()),
-            "pallas_ms": round(ms_pal, 3), "xla_fixpoint_ms": round(ms_xla, 3),
-            "winner": "pallas" if ms_pal <= ms_xla else "xla",
-        }
-        print(f"K={k}: match={match} kept={int(keep_p.sum())} "
-              f"pallas={ms_pal:.3f} ms xla={ms_xla:.3f} ms")
-        assert match, f"K={k}: pallas keep-set != fixpoint reference"
+        keep_ref = np.asarray(cands["xla"](b, c, v)).astype(bool)
+        case = {"kept": int(keep_ref.sum())}
+        match_all = True
+        for name, f in cands.items():
+            match = bool((np.asarray(f(b, c, v)).astype(bool)
+                          == keep_ref).all())
+            match_all &= match
+            case[name + "_ms"] = round(chained_ms(f, b, c, v), 3)
+            case[name + "_match"] = match
+        case["winner"] = min(
+            (n for n in cands), key=lambda n: case[n + "_ms"])
+        out["cases"][str(k)] = case
+        print(f"K={k}: kept={case['kept']} winner={case['winner']} " +
+              " ".join(f"{n}={case[n + '_ms']}ms" for n in cands))
+        assert match_all, f"K={k}: keep-set mismatch across paths"
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     os.makedirs(os.path.join(here, "reports"), exist_ok=True)

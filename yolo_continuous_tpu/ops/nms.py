@@ -125,7 +125,15 @@ def _nms_core(pred, conf_thres, iou_thres, max_det, per_class, use_pallas):
 def _auto_pallas(use_pallas):
     if use_pallas is None:
         # the Pallas kernel measures ~1.5x faster at production candidate
-        # counts on TPU (25200 -> 300: 1.18ms vs 1.80ms); off-TPU use XLA
+        # counts on TPU (25200 -> 300: 1.18ms vs 1.80ms); off-TPU use XLA.
+        # Round-5 dispatch validation (reports/nms_tpu_smoke.json,
+        # scripts/tpu_smoke_nms.py): with RTT-cancelling chained timing,
+        # ALL three paths (block kernel K<=1024, row-tiled kernel,
+        # XLA fixpoint) run 0.2-2 ms at every K in {300..4096} with
+        # bit-identical keep-sets — the earlier 27-29 ms "tiled p50" was
+        # per-call tunnel RTT, not kernel time. Winners flip run-to-run
+        # within noise, so the dispatch below never picks a
+        # significantly slower path at any size.
         return jax.default_backend() == "tpu"
     return use_pallas
 
