@@ -311,8 +311,17 @@ def cmd_gen_flagship(d, epochs):
 
 def _recipe_tag(cfg):
     if cfg.get("init_weights_from") or cfg.get("resume"):
-        return "shared-init fine-tune"
-    return "voc recipe" if cfg.get("mosaic") else "voc recipe, mosaic off"
+        tag = "shared-init fine-tune"
+    elif cfg.get("labels") and len(cfg["labels"]) == 6:
+        tag = "6-class easy set" if cfg.get("mosaic") \
+            else "6-class easy set, mosaic off"
+    else:
+        tag = "voc recipe" if cfg.get("mosaic") else "voc recipe, mosaic off"
+    if cfg.get("stop_after_epoch"):
+        # budget-matched pairing: both arms stopped at the same epoch of
+        # the full schedule (the torch arm ran out of wall clock)
+        tag += f", stopped at epoch {cfg['stop_after_epoch']}"
+    return tag
 
 
 def cmd_eval(d):
