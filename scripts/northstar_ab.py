@@ -256,39 +256,47 @@ def cmd_gen_easy(d, epochs=30):
           f"mosaic off, shared anchors {anchors})")
 
 
-def cmd_gen_finetune(d, donor, epochs=8):
+def cmd_gen_finetune(d, donor, epochs=8, base_suffix="s0", tag=""):
     """Derive the SHARED-INIT fine-tune pair (round-4 verdict #2b): both
     frameworks fine-tune from the SAME donor weights, so both arms sit
     at meaningful mAP from step 0 and the paired delta is measured where
     it discriminates. ``donor`` is an ours .msgpack checkpoint; the
     torch arm receives it through the bit-parity-tested exporter
     (tools/torch_export). Fine-tune recipe (identical both arms): the
-    voc recipe's augmentation (mosaic+mixup 0.5, jitter/flip/HSV) with a
-    standard fine-tune LR (lrI 1e-3 linear to 1e-4, no warm-up)."""
+    base plans' augmentation with a standard fine-tune LR (lrI 1e-3
+    linear to 1e-4, no warm-up). ``base_suffix`` picks which plan pair
+    to derive from (s0 = voc recipe, ez30_s0 = the 6-class easy set —
+    the round-5 discriminating budget, whose donor actually reaches
+    meaningful mAP in TPU-feasible time)."""
     import yaml
     ft = dict(lrI=0.001, lrF=0.1, warmup=False, epochs=epochs)
+    key = f"{tag}ft{epochs}_s0"
     # ours: weights-only warm start (train_loop.Trainer.warm_start)
-    base = yaml.safe_load(open(os.path.join(d, "plan_ours_s0.yaml")))
-    base.update(ft, save_name=f"ab640_ours_ft{epochs}_s0",
+    base = yaml.safe_load(open(os.path.join(
+        d, f"plan_ours_{base_suffix}.yaml")))
+    base.pop("stop_after_epoch", None)
+    base.update(ft, save_name=f"ab640_ours_{key}",
                 init_weights_from=donor)
-    with open(os.path.join(d, f"plan_ours_ft{epochs}_s0.yaml"), "w") as f:
+    with open(os.path.join(d, f"plan_ours_{key}.yaml"), "w") as f:
         yaml.safe_dump(base, f)
     # torch: the reference's own resume path (train.py:38-39) loads a
     # bare state_dict and trains it under the plan's fresh schedule —
     # exactly weights-only fine-tune. Export the donor to the arm's
     # save_path so resume picks it up.
-    tb = yaml.safe_load(open(os.path.join(d, "plan_torch_s0.yaml")))
-    tb.update(ft, save_name=f"ab640_torch_ft{epochs}_s0", resume=True)
-    tp = os.path.join(d, f"plan_torch_ft{epochs}_s0.yaml")
+    tb = yaml.safe_load(open(os.path.join(
+        d, f"plan_torch_{base_suffix}.yaml")))
+    tb.pop("stop_after_epoch", None)
+    tb.update(ft, save_name=f"ab640_torch_{key}", resume=True)
+    tp = os.path.join(d, f"plan_torch_{key}.yaml")
     with open(tp, "w") as f:
         yaml.safe_dump(tb, f)
-    pth = os.path.join(d, f"ab640_torch_ft{epochs}_s0.pth")
+    pth = os.path.join(d, f"ab640_torch_{key}.pth")
     from yolo_continuous_tpu.config.plan import TrainPlan
     from yolo_continuous_tpu.tools.torch_export import export_checkpoint
-    plan = TrainPlan(os.path.join(d, "plan_ours_s0.yaml"))
+    plan = TrainPlan(os.path.join(d, f"plan_ours_{base_suffix}.yaml"))
     plan.save_path = donor
     export_checkpoint(plan, pth, use_ema=True)
-    print(f"wrote ft{epochs} plan variants; donor {donor} -> {pth}")
+    print(f"wrote {key} plan variants; donor {donor} -> {pth}")
 
 
 def cmd_gen_flagship(d, epochs):
@@ -508,6 +516,10 @@ def main():
                     help="ours .msgpack donor checkpoint for gen-finetune")
     ap.add_argument("--plan", default=None,
                     help="plan_<NAME>.yaml file name for train-*")
+    ap.add_argument("--base-suffix", default="s0", dest="base_suffix",
+                    help="gen-finetune: derive from plan_{arm}_<suffix>.yaml")
+    ap.add_argument("--tag", default="",
+                    help="gen-finetune: key prefix, e.g. 'ez' -> ezft8_s0")
     args = ap.parse_args()
     d = args.dir
     os.makedirs(d, exist_ok=True)
@@ -524,7 +536,8 @@ def main():
     elif args.cmd == "gen-finetune":
         assert args.donor, "--donor required"
         cmd_gen_finetune(d, args.donor, args.epochs
-                         if args.epochs != 12 else 8)
+                         if args.epochs != 12 else 8,
+                         base_suffix=args.base_suffix, tag=args.tag)
     elif args.cmd == "calibrate":
         cmd_calibrate(d)
     elif args.cmd == "train-torch":
