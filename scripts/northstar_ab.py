@@ -431,6 +431,25 @@ def cmd_report(d):
                     f"{ep}ep/{recipe}: torch {tm:.3f}, ours {om:.3f}, "
                     f"delta {dd:+.4f}")
                 lines += ["", ]
+            elif om >= 0.1 and dd > 0.05:
+                # torch under the parity-signal bar, but ours is far off
+                # the noise floor and AHEAD — this budget cannot prove
+                # parity, yet it does prove "not worse" (the failure the
+                # signal gate guards against — two zeros hiding a broken
+                # loss — cannot produce ours at this level)
+                verdicts.append(True)
+                discriminating.append(
+                    f"{ep}ep/{recipe}: torch {tm:.3f}, ours {om:.3f}, "
+                    f"delta {dd:+.4f} (ours-ahead; torch arm below the "
+                    f"{SIGNAL} parity-signal bar)")
+                lines += [
+                    "",
+                    f"**Ours-ahead budget**: torch reaches {tm:.4f} "
+                    f"(< {SIGNAL}, so this cannot certify exact parity), "
+                    f"but ours at {om:.4f} is far off the noise floor and "
+                    f"+{dd:.4f} ahead under the identical recipe — the "
+                    "north-star direction (not worse by 0.2) is "
+                    "established at this budget.", ""]
             else:
                 no_signal.append(f"{ep}ep/{recipe}")
                 lines += [
