@@ -268,3 +268,163 @@ def test_serve_multi_model_stats_and_conf():
         srv.shutdown()
         for e in srv.engines.values():
             e.close()
+
+
+def test_priority_ordering():
+    """Queued requests must be drained high-priority-first (FIFO within
+    a level): with the worker blocked on its first batch, low/normal/
+    high requests enqueued together are processed high, normal, low
+    (serve.py BatchingEngine priority queue)."""
+    import time
+
+    from yolo_continuous_tpu.serve import PRIORITIES, BatchingEngine
+
+    plan = _tiny_plan()
+    plan.save_path = "/nonexistent/x.msgpack"
+    real = Detector(plan, dtype=jnp.float32)
+
+    order = []
+    gate = threading.Event()
+
+    class _Recorder:
+        plan = real.plan
+
+        def __call__(self, imgs, *a, **k):
+            gate.wait(30)           # holds the FIRST batch open until
+            order.append(int(round(  # the contenders are all enqueued
+                float(np.asarray(imgs)[0].max()) * 255)))
+            return real(imgs, *a, **k)
+
+    # batch_size=1: every request becomes its own batch, so `order`
+    # records the exact drain order of the queue
+    eng = BatchingEngine(_Recorder(), batch_size=1, max_wait_ms=1.0,
+                         conf=0.0, nms=0.5, warmup=False)
+    try:
+        # 64x64 inputs == model size: letterbox is identity (no 114
+        # padding), so each image's max pixel is its marker value
+        def img(v):
+            return np.full((64, 64, 3), v, np.uint8)
+
+        threads = [threading.Thread(
+            target=eng.submit, args=(img(10),))]    # occupies the worker
+        threads[0].start()
+        deadline = time.monotonic() + 10
+        while eng._q.qsize() > 0 and time.monotonic() < deadline:
+            time.sleep(0.01)        # worker picked up the first request
+        for v, pri in [(40, PRIORITIES["low"]), (80, PRIORITIES["normal"]),
+                       (120, PRIORITIES["high"])]:
+            t = threading.Thread(target=eng.submit, args=(img(v),),
+                                 kwargs={"priority": pri})
+            t.start()
+            threads.append(t)
+        deadline = time.monotonic() + 10
+        while eng._q.qsize() < 3 and time.monotonic() < deadline:
+            time.sleep(0.01)        # all three contenders enqueued
+        assert eng._q.qsize() == 3
+        gate.set()
+        for t in threads:
+            t.join(timeout=60)
+        assert order == [10, 120, 80, 40]
+        stats = eng.stats()
+        assert stats["by_priority"] == {"low": 1, "normal": 2, "high": 1}
+    finally:
+        gate.set()
+        eng.close()
+
+
+def test_urgent_skips_fill_wait():
+    """An urgent request must dispatch immediately instead of sitting
+    out max_wait_ms waiting for the batch to fill; a normal request in
+    the same engine pays the full fill wait (serve.py _drain)."""
+    import time
+
+    from yolo_continuous_tpu.serve import PRIORITIES, BatchingEngine
+
+    plan = _tiny_plan()
+    plan.save_path = "/nonexistent/x.msgpack"
+    det = Detector(plan, dtype=jnp.float32)
+    eng = BatchingEngine(det, batch_size=4, max_wait_ms=1500.0,
+                         conf=0.0, nms=0.5)       # warmup pays compile
+    try:
+        img = np.full((64, 64, 3), 90, np.uint8)
+        t0 = time.monotonic()
+        res = eng.submit(img, priority=PRIORITIES["urgent"])
+        dt_urgent = time.monotonic() - t0
+        assert res is not None
+        t0 = time.monotonic()
+        res = eng.submit(img)                     # normal: waits for fill
+        dt_normal = time.monotonic() - t0
+        assert res is not None
+        assert dt_normal >= 1.2                   # sat out max_wait_ms
+        assert dt_urgent < 1.0                    # did not
+    finally:
+        eng.close()
+
+
+def test_stream_endpoint():
+    """POST /detect/stream: length-prefixed frames in, one NDJSON line
+    per frame out (in order), matching the single-shot /detect results
+    for the same images; plus the trailing done record."""
+    cv2 = pytest.importorskip("cv2")
+    import http.client
+    import struct
+
+    plan = _tiny_plan()
+    plan.save_path = "/nonexistent/x.msgpack"
+    det = Detector(plan, dtype=jnp.float32)
+    port = _free_port()
+    srv = make_server(plan, port=port, batch_size=4, max_wait_ms=10.0,
+                      conf=0.0, nms=0.5, detector=det)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        frames, encs = [], []
+        for shade in (60, 130, 200):              # three distinct frames
+            img = np.full((48, 80, 3), shade, np.uint8)
+            cv2.rectangle(img, (10, 10), (40, 35), (230, 40, 40), -1)
+            ok, enc = cv2.imencode(".jpg", img)
+            assert ok
+            frames.append(img)
+            encs.append(enc.tobytes())
+        body = b"".join(struct.pack(">I", len(e)) + e for e in encs)
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/detect/stream", body=body)
+        resp = conn.getresponse()                 # http.client de-chunks
+        assert resp.status == 200
+        assert resp.getheader("Content-Type") == "application/x-ndjson"
+        lines = [json.loads(x) for x in resp.read().decode().splitlines()]
+        conn.close()
+
+        assert lines[-1] == {"done": True, "frames": 3}
+        results = lines[:-1]
+        assert [r["frame"] for r in results] == [0, 1, 2]   # in order
+        for r in results:
+            assert set(r) == {"frame", "boxes", "scores", "classes",
+                              "labels"}
+
+        # each streamed frame's detections == the single-shot endpoint's
+        for i, enc in enumerate(encs):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/detect", data=enc,
+                headers={"Content-Type": "image/jpeg"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                single = json.loads(r.read())
+            assert {k: v for k, v in results[i].items() if k != "frame"} \
+                == single
+
+        # undecodable frame -> per-frame error line, stream continues
+        junk = b"\x00" * 32
+        body = (struct.pack(">I", len(junk)) + junk
+                + struct.pack(">I", len(encs[0])) + encs[0])
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/detect/stream", body=body)
+        resp = conn.getresponse()
+        lines = [json.loads(x) for x in resp.read().decode().splitlines()]
+        conn.close()
+        assert lines[0] == {"frame": 0, "error": "undecodable image"}
+        assert lines[1]["frame"] == 1 and "boxes" in lines[1]
+        assert lines[-1] == {"done": True, "frames": 2}
+    finally:
+        srv.shutdown()
+        srv.engine.close()

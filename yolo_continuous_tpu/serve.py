@@ -23,20 +23,41 @@ fixed shapes) into a production-style microservice:
   cv2 is used only to decode request JPEG/PNG bytes (without it the
   server still runs and returns 503 with an explanatory error).
 
+- **request prioritization**: every request carries a priority
+  (``low`` < ``normal`` < ``high`` < ``urgent``). The shared queue is a
+  priority queue (FIFO within a level), so under load high-priority
+  traffic is batched first; an ``urgent`` request additionally cuts the
+  batching wait short — the worker dispatches immediately with whatever
+  is queued instead of waiting ``max_wait_ms`` for fill. This bounds
+  tail latency for latency-critical callers without a separate engine.
+- **streaming**: ``POST /detect/stream`` accepts a stream of frames
+  (4-byte big-endian length prefix + JPEG/PNG bytes, repeated; body may
+  be Content-Length or chunked) and streams back one NDJSON line per
+  frame as results complete, in frame order. Frames are pipelined
+  through the batching engine (up to ``batch_size`` in flight), so a
+  single video client still fills device batches.
+
 Endpoints:
     POST /detect          body = JPEG/PNG bytes -> JSON {boxes, scores,
                           classes, labels} in original-image pixel
                           coordinates. Optional ``?conf=0.6`` raises the
                           score threshold for THIS request (host-side
                           post-filter; it can only tighten the engine's
-                          batch threshold, never loosen it).
+                          batch threshold, never loosen it). Optional
+                          ``?priority=low|normal|high|urgent``.
     POST /detect/<model>  same, routed to a named model
                           (multi-model serving, ``make_multi_server``)
+    POST /detect/stream   length-prefixed frame stream in, NDJSON lines
+                          out (one per frame, in order, streamed as
+                          they complete). ``?conf=``/``?priority=``
+                          apply to every frame. Also
+                          ``/detect/<model>/stream`` (a model cannot be
+                          named "stream").
     GET  /healthz         -> {"ok": true, "models": {...}}
     GET  /models          -> per-model config (image size, labels, batch)
     GET  /stats           -> per-model live counters: requests, batches,
-                          mean batch fill, errors, request-latency
-                          p50/p95/max ms (monitoring surface)
+                          mean batch fill, errors, per-priority request
+                          counts, request-latency p50/p95/max ms
 
 Run: python -m yolo_continuous_tpu.serve cfg/chip_tiny.yaml --port 8100
 Multi-model: ... serve cfg/a.yaml --model tiny=cfg/b.yaml --model x=cfg/c.yaml
@@ -44,11 +65,13 @@ Multi-model: ... serve cfg/a.yaml --model tiny=cfg/b.yaml --model x=cfg/c.yaml
 from __future__ import annotations
 
 import collections
+import itertools
 import json
 import queue
 import threading
 import time
 import urllib.parse
+from concurrent.futures import ThreadPoolExecutor
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional
 
@@ -58,6 +81,11 @@ try:
     import cv2
 except ImportError:  # pragma: no cover
     cv2 = None
+
+# request priority levels (names accepted at the HTTP layer); higher
+# runs sooner. URGENT additionally skips the batching fill-wait.
+PRIORITIES = {"low": -1, "normal": 0, "high": 1, "urgent": 2}
+URGENT = PRIORITIES["urgent"]
 
 
 class _Pending:
@@ -90,7 +118,10 @@ class BatchingEngine:
         self.conf, self.nms, self.max_det = conf, nms, max_det
         self.submit_timeout = submit_timeout
         self.size = (detector.plan.image_size, detector.plan.image_size)
-        self._q: "queue.Queue[_Pending]" = queue.Queue()
+        # priority queue of (-priority, seq, pending): higher priority
+        # first, FIFO within a level (seq is a global monotonic counter)
+        self._q: "queue.PriorityQueue" = queue.PriorityQueue()
+        self._seq = itertools.count()
         self._stop = threading.Event()
         # live monitoring counters (GET /stats)
         self._stats_lock = threading.Lock()
@@ -100,6 +131,7 @@ class BatchingEngine:
         self._n_batches = 0
         self._n_batched_reqs = 0
         self._n_errors = 0
+        self._n_by_priority = collections.Counter()
         self._latencies = collections.deque(maxlen=512)  # seconds
         if warmup:
             # compile the fixed-shape serving graph NOW: a lazy first
@@ -113,18 +145,24 @@ class BatchingEngine:
 
     # -- client side -----------------------------------------------------
     def submit(self, rgb: np.ndarray, timeout: Optional[float] = None,
-               conf: Optional[float] = None) -> Optional[dict]:
+               conf: Optional[float] = None,
+               priority: int = 0) -> Optional[dict]:
         """Block until this image's detections are ready.
 
         ``conf``: optional per-request score threshold — a host-side
         post-filter on the shared batch's results (the device batch runs
-        at the engine's threshold, so a request can only tighten it)."""
+        at the engine's threshold, so a request can only tighten it).
+
+        ``priority``: PRIORITIES value (default normal). Higher-priority
+        requests are drained into device batches first; ``urgent`` also
+        makes the worker dispatch its batch without waiting for fill."""
         t_in = time.monotonic()
         img, _, _ = self._letterbox(rgb, self.size, (114, 114, 114))
         p = _Pending(np.asarray(img, np.float32) / 255.0, rgb.shape[:2])
         with self._stats_lock:
             self._n_requests += 1
-        self._q.put(p)
+            self._n_by_priority[priority] += 1
+        self._q.put((-priority, next(self._seq), p))
         if not p.event.wait(self.submit_timeout if timeout is None
                             else timeout):
             with self._stats_lock:
@@ -153,6 +191,10 @@ class BatchingEngine:
                 "mean_batch_fill": round(self._n_batched_reqs / n_b, 3)
                 if n_b else None,
                 "batch_errors": self._n_errors,
+                "by_priority": {
+                    name: self._n_by_priority[v]
+                    for name, v in PRIORITIES.items()
+                    if self._n_by_priority[v]},
             }
             if lats:
                 out["latency_ms"] = {
@@ -166,15 +208,28 @@ class BatchingEngine:
 
     # -- device side -----------------------------------------------------
     def _drain(self) -> List[_Pending]:
-        batch = [self._q.get()]          # block for the first request
+        neg, _, first = self._q.get()    # block for the first request
+        batch = [first]
+        if -neg >= URGENT:
+            # urgent head-of-line: take whatever is ALREADY queued (free
+            # batching) but never sit out the fill wait
+            while len(batch) < self.batch_size:
+                try:
+                    batch.append(self._q.get_nowait()[2])
+                except queue.Empty:
+                    break
+            return batch
         deadline = time.monotonic() + self.max_wait_s
         while len(batch) < self.batch_size:
             left = deadline - time.monotonic()
             if left <= 0:
                 break
             try:
-                batch.append(self._q.get(timeout=left))
+                neg, _, p = self._q.get(timeout=left)
             except queue.Empty:
+                break
+            batch.append(p)
+            if -neg >= URGENT:           # urgent arrival ends the wait
                 break
         return batch
 
@@ -228,6 +283,76 @@ class BatchingEngine:
         self._stop.set()
 
 
+class _BodyReader:
+    """Exact-read view of an HTTP request body.
+
+    Supports both Content-Length bodies and ``Transfer-Encoding:
+    chunked`` (stdlib BaseHTTPRequestHandler does not de-chunk), so the
+    /detect/stream endpoint can consume a body the client produces
+    incrementally (e.g. live video frames)."""
+
+    def __init__(self, rfile, headers):
+        self._rfile = rfile
+        te = (headers.get("Transfer-Encoding") or "").lower()
+        self._chunked = "chunked" in te
+        self._left = (0 if self._chunked
+                      else int(headers.get("Content-Length") or 0))
+        self._chunk_left = 0
+        self._eof = False
+
+    def _read_exact(self, n: int) -> bytes:
+        out = b""
+        while len(out) < n:
+            part = self._rfile.read(n - len(out))
+            if not part:
+                break
+            out += part
+        return out
+
+    def read(self, n: int) -> bytes:
+        """Read exactly ``n`` bytes; short result means end of body."""
+        if self._eof or n <= 0:
+            return b""
+        if not self._chunked:
+            n = min(n, self._left)
+            out = self._read_exact(n)
+            self._left -= len(out)
+            if self._left <= 0 or len(out) < n:
+                self._eof = True
+            return out
+        out = b""
+        while len(out) < n:
+            if self._chunk_left == 0:
+                line = self._rfile.readline(130)
+                if not line:
+                    self._eof = True
+                    break
+                line = line.strip().split(b";")[0]
+                if not line:                      # CRLF between chunks
+                    continue
+                try:
+                    size = int(line, 16)
+                except ValueError:
+                    self._eof = True
+                    break
+                if size == 0:                     # last-chunk; trailers
+                    while True:
+                        t = self._rfile.readline(1024)
+                        if t in (b"", b"\r\n", b"\n"):
+                            break
+                    self._eof = True
+                    break
+                self._chunk_left = size
+            take = min(n - len(out), self._chunk_left)
+            part = self._read_exact(take)
+            out += part
+            self._chunk_left -= len(part)
+            if len(part) < take:
+                self._eof = True
+                break
+        return out
+
+
 def make_multi_server(models: dict, host: str = "127.0.0.1",
                       port: int = 8100, batch_size: int = 8,
                       max_wait_ms: float = 5.0, conf: float = 0.3,
@@ -256,6 +381,10 @@ def make_multi_server(models: dict, host: str = "127.0.0.1",
                 "labels": list(e.det.plan.labels)}
 
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 so the stream endpoint can send a chunked response;
+        # every non-stream response carries Content-Length.
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, *a):     # quiet
             pass
 
@@ -286,16 +415,22 @@ def make_multi_server(models: dict, host: str = "127.0.0.1",
         def do_POST(self):
             url = urllib.parse.urlparse(self.path)
             parts = url.path.strip("/").split("/")
+            stream = parts[-1] == "stream" and len(parts) >= 2
+            if stream:
+                parts = parts[:-1]
             if parts[0] != "detect" or len(parts) > 2:
+                self.close_connection = True     # body not consumed
                 self._json(404, {"error": "not found"})
                 return
             name = parts[1] if len(parts) == 2 else default_name
             engine = engines.get(name)
             if engine is None:
+                self.close_connection = True
                 self._json(404, {"error": f"unknown model {name!r}",
                                  "models": list(engines)})
                 return
             if cv2 is None:
+                self.close_connection = True
                 self._json(503, {"error": "cv2 is not available: the "
                                           "server cannot decode image "
                                           "bytes on this host"})
@@ -304,7 +439,21 @@ def make_multi_server(models: dict, host: str = "127.0.0.1",
             try:
                 req_conf = float(q["conf"][0]) if "conf" in q else None
             except ValueError:
+                self.close_connection = True
                 self._json(400, {"error": "bad conf parameter"})
+                return
+            pri_s = q.get("priority", ["normal"])[0]
+            try:
+                priority = (PRIORITIES[pri_s] if pri_s in PRIORITIES
+                            else int(pri_s))
+            except ValueError:
+                self.close_connection = True
+                self._json(400, {"error": f"bad priority {pri_s!r} "
+                                          f"(one of {list(PRIORITIES)} "
+                                          "or an int)"})
+                return
+            if stream:
+                self._stream(engine, req_conf, priority)
                 return
             length = int(self.headers.get("Content-Length", 0))
             raw = self.rfile.read(length)
@@ -314,11 +463,82 @@ def make_multi_server(models: dict, host: str = "127.0.0.1",
                 self._json(400, {"error": "undecodable image"})
                 return
             rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
-            res = engine.submit(rgb, conf=req_conf)
+            res = engine.submit(rgb, conf=req_conf, priority=priority)
             if res is None:
                 self._json(503, {"error": "timeout"})
                 return
             self._json(500 if "error" in res else 200, res)
+
+        def _stream(self, engine, req_conf, priority):
+            """POST /detect[/<model>]/stream — frames in, NDJSON out.
+
+            Request body: repeated [4-byte big-endian length][image
+            bytes] records (Content-Length or chunked). Response: one
+            JSON line per frame, in frame order, written as each result
+            completes. Up to ``batch_size`` frames are in flight at
+            once, so a single streaming client still fills device
+            batches (the whole point of the batching engine)."""
+            self.close_connection = True         # chunked one-shot
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def emit(obj):
+                data = (json.dumps(obj) + "\n").encode()
+                self.wfile.write(b"%x\r\n" % len(data) + data + b"\r\n")
+                self.wfile.flush()
+
+            def flush_one(entry):
+                i, fut = entry
+                if fut is None:
+                    emit({"frame": i, "error": "undecodable image"})
+                    return
+                res = fut.result()
+                if res is None:
+                    emit({"frame": i, "error": "timeout"})
+                else:
+                    emit({"frame": i, **res})
+
+            reader = _BodyReader(self.rfile, self.headers)
+            depth = max(2, engine.batch_size)
+            pending = collections.deque()
+            n_frames = 0
+            try:
+                with ThreadPoolExecutor(max_workers=depth) as ex:
+                    while True:
+                        hdr = reader.read(4)
+                        if len(hdr) < 4:
+                            break
+                        n = int.from_bytes(hdr, "big")
+                        if n == 0 or n > (64 << 20):
+                            emit({"frame": n_frames,
+                                  "error": f"bad frame length {n}"})
+                            break
+                        raw = reader.read(n)
+                        if len(raw) < n:
+                            emit({"frame": n_frames,
+                                  "error": "truncated frame"})
+                            break
+                        buf = np.frombuffer(raw, np.uint8)
+                        bgr = cv2.imdecode(buf, cv2.IMREAD_COLOR)
+                        if bgr is None:
+                            pending.append((n_frames, None))
+                        else:
+                            rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+                            pending.append((n_frames, ex.submit(
+                                engine.submit, rgb, conf=req_conf,
+                                priority=priority)))
+                        n_frames += 1
+                        while len(pending) >= depth:
+                            flush_one(pending.popleft())
+                    while pending:
+                        flush_one(pending.popleft())
+                emit({"done": True, "frames": n_frames})
+                self.wfile.write(b"0\r\n\r\n")
+                self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                pass                             # client went away
 
     srv = ThreadingHTTPServer((host, port), Handler)
     srv.engines = engines
