@@ -361,6 +361,69 @@ def test_urgent_skips_fill_wait():
         eng.close()
 
 
+def test_model_hot_reload(tmp_path):
+    """POST /models/<name>/reload hot-swaps weights from the plan's
+    checkpoint: 404 while no checkpoint exists, then a successful
+    reload changes the detections for the same input (Detector.
+    reload_weights swaps params without recompiling the infer graph)."""
+    cv2 = pytest.importorskip("cv2")
+    import jax
+
+    from yolo_continuous_tpu.train.checkpoint import save_checkpoint
+
+    plan = _tiny_plan()
+    ckpt = str(tmp_path / "reload.msgpack")
+    plan.save_path = ckpt                        # does not exist yet
+    det = Detector(plan, dtype=jnp.float32)
+    port = _free_port()
+    srv = make_server(plan, port=port, batch_size=2, max_wait_ms=5.0,
+                      conf=0.0, nms=0.5, detector=det)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        img = np.full((48, 80, 3), 120, np.uint8)
+        cv2.rectangle(img, (10, 10), (40, 35), (230, 40, 40), -1)
+        ok, enc = cv2.imencode(".jpg", img)
+        assert ok
+
+        def post(path, data=b""):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}", data=data,
+                headers={"Content-Type": "application/octet-stream"})
+            try:
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        code, before = post("/detect", enc.tobytes())
+        assert code == 200 and before["scores"]
+
+        code, body = post("/models/default/reload")     # no ckpt yet
+        assert code == 404 and body["reloaded"] is False
+
+        code, body = post("/models/nope/reload")
+        assert code == 404 and "unknown model" in body["error"]
+
+        # write a checkpoint with DIFFERENT weights (scaled params)
+        new_params = jax.tree.map(lambda a: np.asarray(a) * 1.5,
+                                  det.params)
+        save_checkpoint(ckpt, {
+            "params": new_params, "batch_stats": det.batch_stats,
+            "ema": {"tree": {"params": new_params,
+                             "batch_stats": det.batch_stats}}})
+
+        code, body = post("/models/default/reload")
+        assert code == 200 and body["reloaded"] is True
+
+        code, after = post("/detect", enc.tobytes())
+        assert code == 200
+        assert after != before                   # new weights serving
+    finally:
+        srv.shutdown()
+        srv.engine.close()
+
+
 def test_stream_endpoint():
     """POST /detect/stream: length-prefixed frames in, one NDJSON line
     per frame out (in order), matching the single-shot /detect results

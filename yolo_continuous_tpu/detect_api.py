@@ -12,6 +12,7 @@ here both paths are RGB.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import List, Optional, Tuple
@@ -140,6 +141,60 @@ class Detector:
         self.batch_stats = batch_stats or {}
         self._infer = None
         self._infer_key = None
+
+    def reload_weights(self, path: Optional[str] = None,
+                       use_ema: bool = True) -> bool:
+        """Hot-swap weights from a checkpoint WITHOUT recompiling.
+
+        The jitted infer graph closes over shapes only — params and
+        batch_stats are call arguments (``__call__``) — so the swap is
+        visible on the very next inference, no warm-up needed. Returns
+        True if a checkpoint was loaded, False if none exists at
+        ``path`` (default: the plan's ``save_path``). With
+        ``quantize=True`` the recorded activation scales are kept;
+        re-run ``calibrate()`` after large weight changes.
+        """
+        path = path or self.plan.save_path
+        if not (path and os.path.exists(path)):
+            return False
+        if self.fuse:
+            # checkpoints hold UNFUSED trees (RepConv branches intact):
+            # rebuild the training-spec template, load, then re-fuse
+            # into this detector's deploy spec
+            model_cfg = cvt_cfg(self.plan.model_cfg)
+            spec = build_model_spec(model_cfg, self.plan.image_chan,
+                                    self.plan.anchors, self.plan.num_labels,
+                                    self.plan.anchors_mask)
+            model = YoloModel(spec=spec, dtype=self.dtype,
+                              head_dtype=self.head_dtype)
+            size = self.plan.image_size
+            x = jnp.zeros((1, size, size, self.plan.image_chan),
+                          jnp.float32)
+            variables = model.init(jax.random.PRNGKey(0), x, False)
+            params = variables["params"]
+            batch_stats = variables.get("batch_stats", {})
+        else:
+            spec = None
+            params, batch_stats = self.params, self.batch_stats
+        tmpl = {"params": params, "batch_stats": batch_stats,
+                "ema": {"tree": {"params": params,
+                                 "batch_stats": batch_stats}}}
+        ckpt = try_load(path, tmpl)
+        if ckpt is None:
+            return False
+        if use_ema and "ema" in ckpt:
+            params = ckpt["ema"]["tree"]["params"]
+            batch_stats = ckpt["ema"]["tree"]["batch_stats"]
+        else:
+            params = ckpt["params"]
+            batch_stats = ckpt["batch_stats"]
+        if self.fuse:
+            from .nn.fuse import fuse_model_params
+            params, batch_stats = fuse_model_params(spec, params,
+                                                    batch_stats or {})
+        self.params = params
+        self.batch_stats = batch_stats or {}
+        return True
 
     def calibrate(self, images, batches=1):
         """Record per-Conv activation scales (int8 PTQ) from

@@ -53,6 +53,10 @@ Endpoints:
                           apply to every frame. Also
                           ``/detect/<model>/stream`` (a model cannot be
                           named "stream").
+    POST /models/<m>/reload  hot-swap <m>'s weights from its plan's
+                          checkpoint (no recompile, no downtime: params
+                          are call arguments to the jitted graph; the
+                          swap is serialized against in-flight batches).
     GET  /healthz         -> {"ok": true, "models": {...}}
     GET  /models          -> per-model config (image size, labels, batch)
     GET  /stats           -> per-model live counters: requests, batches,
@@ -123,6 +127,8 @@ class BatchingEngine:
         self._q: "queue.PriorityQueue" = queue.PriorityQueue()
         self._seq = itertools.count()
         self._stop = threading.Event()
+        # serializes weight hot-swaps (reload) against in-flight batches
+        self._det_lock = threading.Lock()
         # live monitoring counters (GET /stats)
         self._stats_lock = threading.Lock()
         self._t0 = time.monotonic()
@@ -244,8 +250,10 @@ class BatchingEngine:
                 imgs = np.zeros((self.batch_size, *self.size, 3), np.float32)
                 for i, p in enumerate(batch):
                     imgs[i] = p.image
-                boxes, scores, classes, valid = self.det(
-                    jnp.asarray(imgs), self.conf, self.nms, self.max_det)
+                with self._det_lock:    # never mid-swap (reload_weights)
+                    boxes, scores, classes, valid = self.det(
+                        jnp.asarray(imgs), self.conf, self.nms,
+                        self.max_det)
                 boxes = np.asarray(boxes)
                 scores = np.asarray(scores)
                 classes = np.asarray(classes)
@@ -278,6 +286,16 @@ class BatchingEngine:
                     self._n_batched_reqs += len(batch)
                 for p in batch:
                     p.event.set()
+
+    def reload(self, path: Optional[str] = None) -> bool:
+        """Hot-swap the detector's weights from its checkpoint (see
+        Detector.reload_weights) without dropping queued requests: the
+        swap is serialized against the worker's device call, so every
+        batch runs on a consistent (params, batch_stats) pair and the
+        next batch after a successful reload serves the new weights —
+        no recompile, no downtime."""
+        with self._det_lock:
+            return bool(self.det.reload_weights(path))
 
     def close(self):
         self._stop.set()
@@ -415,6 +433,21 @@ def make_multi_server(models: dict, host: str = "127.0.0.1",
         def do_POST(self):
             url = urllib.parse.urlparse(self.path)
             parts = url.path.strip("/").split("/")
+            if (parts[0] == "models" and len(parts) == 3
+                    and parts[2] == "reload"):
+                eng = engines.get(parts[1])
+                if eng is None:
+                    self._json(404, {"error": f"unknown model "
+                                              f"{parts[1]!r}",
+                                     "models": list(engines)})
+                    return
+                ok = eng.reload()
+                self._json(200 if ok else 404,
+                           {"reloaded": ok, "model": parts[1],
+                            **({} if ok else
+                               {"error": "no checkpoint at "
+                                         f"{eng.det.plan.save_path!r}"})})
+                return
             stream = parts[-1] == "stream" and len(parts) >= 2
             if stream:
                 parts = parts[:-1]
