@@ -424,6 +424,46 @@ def test_model_hot_reload(tmp_path):
         srv.engine.close()
 
 
+def test_auto_reload_watcher(tmp_path):
+    """reload_every > 0: the engine polls the checkpoint mtime and
+    hot-swaps weights when it changes — the continuous-training serving
+    loop (BatchingEngine._watch_checkpoint)."""
+    import time
+
+    import jax
+
+    from yolo_continuous_tpu.serve import BatchingEngine
+    from yolo_continuous_tpu.train.checkpoint import save_checkpoint
+
+    plan = _tiny_plan()
+    ckpt = str(tmp_path / "watch.msgpack")
+    plan.save_path = ckpt                        # not written yet
+    det = Detector(plan, dtype=jnp.float32)
+    leaf = jax.tree.leaves(det.params)[0]
+    before = np.asarray(leaf).copy()
+    eng = BatchingEngine(det, batch_size=1, max_wait_ms=1.0,
+                         conf=0.0, nms=0.5, warmup=False,
+                         reload_every=0.1)
+    try:
+        time.sleep(0.4)                          # polls see no file: noop
+        assert eng.stats()["reloads"] == 0
+
+        new_params = jax.tree.map(lambda a: np.asarray(a) * 2.0,
+                                  det.params)
+        save_checkpoint(ckpt, {
+            "params": new_params, "batch_stats": det.batch_stats,
+            "ema": {"tree": {"params": new_params,
+                             "batch_stats": det.batch_stats}}})
+        deadline = time.monotonic() + 10
+        while eng.stats()["reloads"] == 0 and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert eng.stats()["reloads"] >= 1
+        after = np.asarray(jax.tree.leaves(det.params)[0])
+        np.testing.assert_allclose(after, before * 2.0, rtol=1e-6)
+    finally:
+        eng.close()
+
+
 def test_stream_endpoint():
     """POST /detect/stream: length-prefixed frames in, one NDJSON line
     per frame out (in order), matching the single-shot /detect results

@@ -107,7 +107,13 @@ class BatchingEngine:
 
     def __init__(self, detector, batch_size: int = 8, max_wait_ms: float = 5.0,
                  conf: float = 0.3, nms: float = 0.45, max_det: int = 100,
-                 submit_timeout: float = 60.0, warmup: bool = True):
+                 submit_timeout: float = 60.0, warmup: bool = True,
+                 reload_every: float = 0.0):
+        """``reload_every`` > 0 starts a checkpoint watcher: every that
+        many seconds the plan's save_path mtime is polled and a change
+        triggers a hot reload — the continuous-training serving story
+        (a Trainer writing checkpoints next door is picked up live,
+        zero downtime, no recompile)."""
         import jax.numpy as jnp
 
         from .ops.nms import yolo_correct_boxes_np
@@ -137,6 +143,7 @@ class BatchingEngine:
         self._n_batches = 0
         self._n_batched_reqs = 0
         self._n_errors = 0
+        self._n_reloads = 0
         self._n_by_priority = collections.Counter()
         self._latencies = collections.deque(maxlen=512)  # seconds
         if warmup:
@@ -148,6 +155,10 @@ class BatchingEngine:
             _ = np.asarray(out[3])
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
+        self.reload_every = reload_every
+        if reload_every and reload_every > 0:
+            threading.Thread(target=self._watch_checkpoint,
+                             daemon=True).start()
 
     # -- client side -----------------------------------------------------
     def submit(self, rgb: np.ndarray, timeout: Optional[float] = None,
@@ -197,6 +208,7 @@ class BatchingEngine:
                 "mean_batch_fill": round(self._n_batched_reqs / n_b, 3)
                 if n_b else None,
                 "batch_errors": self._n_errors,
+                "reloads": self._n_reloads,
                 "by_priority": {
                     name: self._n_by_priority[v]
                     for name, v in PRIORITIES.items()
@@ -295,7 +307,26 @@ class BatchingEngine:
         next batch after a successful reload serves the new weights —
         no recompile, no downtime."""
         with self._det_lock:
-            return bool(self.det.reload_weights(path))
+            ok = bool(self.det.reload_weights(path))
+        if ok:
+            with self._stats_lock:
+                self._n_reloads += 1
+        return ok
+
+    def _watch_checkpoint(self):
+        """Poll the checkpoint's mtime; reload on change (the
+        continuous-training -> serving loop)."""
+        import os
+        last = None
+        while not self._stop.wait(self.reload_every):
+            path = getattr(self.det.plan, "save_path", None)
+            try:
+                mtime = os.path.getmtime(path) if path else None
+            except OSError:
+                mtime = None
+            if mtime is not None and mtime != last:
+                if self.reload():
+                    last = mtime
 
     def close(self):
         self._stop.set()
@@ -375,7 +406,8 @@ def make_multi_server(models: dict, host: str = "127.0.0.1",
                       port: int = 8100, batch_size: int = 8,
                       max_wait_ms: float = 5.0, conf: float = 0.3,
                       nms: float = 0.45, submit_timeout: float = 60.0,
-                      warmup: bool = True) -> ThreadingHTTPServer:
+                      warmup: bool = True,
+                      reload_every: float = 0.0) -> ThreadingHTTPServer:
     """Multi-model server: ``models`` maps name -> plan (or
     ``(plan, detector)`` to reuse a built Detector). Each model gets its
     own BatchingEngine (own compiled graph, queue, worker, stats);
@@ -389,7 +421,8 @@ def make_multi_server(models: dict, host: str = "127.0.0.1",
         det = det or Detector(plan)
         engines[name] = BatchingEngine(
             det, batch_size, max_wait_ms, conf, nms,
-            submit_timeout=submit_timeout, warmup=warmup)
+            submit_timeout=submit_timeout, warmup=warmup,
+            reload_every=reload_every)
         default_name = default_name or name
 
     def _model_info(name):
@@ -583,11 +616,12 @@ def make_server(plan, host: str = "127.0.0.1", port: int = 8100,
                 batch_size: int = 8, max_wait_ms: float = 5.0,
                 conf: float = 0.3, nms: float = 0.45,
                 detector=None, submit_timeout: float = 60.0,
-                warmup: bool = True) -> ThreadingHTTPServer:
+                warmup: bool = True,
+                reload_every: float = 0.0) -> ThreadingHTTPServer:
     """Single-model server (the multi-model server with one entry)."""
     return make_multi_server({"default": (plan, detector)}, host, port,
                              batch_size, max_wait_ms, conf, nms,
-                             submit_timeout, warmup)
+                             submit_timeout, warmup, reload_every)
 
 
 def main():
@@ -608,6 +642,11 @@ def main():
     ap.add_argument("--nms", type=float, default=0.45)
     ap.add_argument("--submit-timeout", type=float, default=60.0,
                     help="seconds a request waits for its batch result")
+    ap.add_argument("--reload-every", type=float, default=0.0,
+                    metavar="SECONDS",
+                    help="poll each model's checkpoint mtime this often "
+                         "and hot-reload on change (continuous-training "
+                         "serving); 0 disables")
     ap.add_argument("--device",
                     default=os.environ.get("JAX_PLATFORMS", "").strip())
     args = ap.parse_args()
@@ -624,7 +663,8 @@ def main():
         models[name] = TrainPlan(check_file(cfg))
     srv = make_multi_server(models, args.host, args.port, args.batch,
                             args.max_wait_ms, args.conf, args.nms,
-                            submit_timeout=args.submit_timeout)
+                            submit_timeout=args.submit_timeout,
+                            reload_every=args.reload_every)
     print(f"serving {list(models)} on {args.host}:{args.port} "
           f"(batch {args.batch})")
     srv.serve_forever()
